@@ -1,0 +1,28 @@
+"""multimot_track_tpu — a TPU-native multi-motion visual odometry framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+MultMotTracking reference system (IROS 2020 "Robust Ego and Object 6-DoF
+Motion Estimation and Tracking"): per-frame ego SE(3) pose, per-object rigid
+SE(3) motions of dynamic objects, sparse scene flow, motion segmentation and
+online ground-truth evaluation — expressed as batched, statically-shaped,
+jit-compiled device programs instead of a threaded C++/g2o pipeline.
+
+Layer map (bottom-up):
+  geometry/  pure-jnp SE(3) + pinhole camera math
+  io/        dataset loaders (KITTI-format images, .flo flow, masks, poses)
+  frontend/  feature sampling (FAST corners, dense object grids, flow shift)
+  solvers/   batched LM flow-BA (Schur-reduced), Horn/PnP RANSAC
+  pipeline/  per-frame-pair tracking step, object association, system facade
+  parallel/  device-mesh sharding of frame-pair batches + windowed BA
+  eval/      relative-pose-error / speed / segmentation metrics
+"""
+
+import jax as _jax
+
+# Geometry/solver math is precision-sensitive (chi2 gates at 0.04 px^2,
+# SURVEY.md §7 "Hard parts"); TPU matmuls default to bf16 which is not
+# enough.  Make full-f32 the package default; throughput-bound kernels
+# opt back into lower precision explicitly via ``precision=`` arguments.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
+__version__ = "0.1.0"

@@ -1,0 +1,114 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters these values as magic numbers through Tracking.cc /
+Optimizer.cc / Frame.cc (see each field's citation).  Here they live in one
+frozen dataclass so every stage is reproducible and sweepable.
+
+All shape-determining fields (``n_static_max`` etc.) are static: JAX traces
+one program per configuration and every frame reuses it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics (reference: kitti_sample/kitti03.yaml)."""
+
+    fx: float = 721.5377
+    fy: float = 721.5377
+    cx: float = 609.5593
+    cy: float = 172.8540
+    bf: float = 387.5744          # baseline * fx  (Camera.bf)
+    width: int = 1242
+    height: int = 375
+    fps: float = 10.0
+    depth_map_factor: float = 100.0   # DepthMapFactor (TUM-style depth pngs)
+
+    @property
+    def K(self) -> Tuple[Tuple[float, float, float], ...]:
+        return ((self.fx, 0.0, self.cx), (0.0, self.fy, self.cy), (0.0, 0.0, 1.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Feature sampling (reference: src/Frame.cc:188-324)."""
+
+    obj_sample_step: int = 4        # dense grid step on instance masks (Frame.cc:189)
+    obj_max_depth: float = 25.0     # dense sample depth gate (Frame.cc:196)
+    static_max_depth: float = 40.0  # static keypoint depth gate (Frame.cc:240)
+    n_features: int = 4000          # ORBextractor.nFeatures
+    n_levels: int = 8               # ORBextractor.nLevels
+    scale_factor: float = 1.2       # ORBextractor.scaleFactor
+    fast_threshold: int = 20        # ORBextractor.iniThFAST
+    fast_min_threshold: int = 7     # ORBextractor.minThFAST
+    grid_cols: int = 64             # spatial-uniformity grid for corner top-k
+    grid_rows: int = 24             # (replaces DistributeOctTree, SURVEY §7)
+
+
+@dataclasses.dataclass(frozen=True)
+class PaddingConfig:
+    """Static shapes: every dynamic count is padded to these and masked."""
+
+    n_static_max: int = 2048        # static (background) tracked points
+    n_obj_pts_max: int = 8192       # dense object points per frame
+    k_obj_max: int = 8              # simultaneously-tracked objects
+    n_per_obj_max: int = 2048       # points gathered per object for its solve
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Flow-BA + RANSAC hyperparameters.
+
+    The camera and object solvers share one kernel; only these numbers
+    differ (reference: src/Optimizer.cc:396-601 PoseOptimizationFlow2Cam and
+    src/Optimizer.cc:2170-2377 PoseOptimizationFlow2).
+    """
+
+    # --- flow bundle adjustment (Levenberg-Marquardt, Schur over flow) ---
+    cam_rp_thres: float = 0.04      # camera chi2 inlier gate (Optimizer.cc:398)
+    obj_rp_thres: float = 0.01      # object chi2 inlier gate (Optimizer.cc:2172)
+    cam_flow_prior_info: float = 0.3  # unary flow prior weight (Optimizer.cc:502)
+    obj_flow_prior_info: float = 0.5  # (Optimizer.cc:2278)
+    reproj_info: float = 0.1        # binary reprojection edge weight (Optimizer.cc:465)
+    cam_lm_iters: int = 100         # LM iterations (Optimizer.cc:520)
+    obj_lm_iters: int = 200         # (Optimizer.cc:2296)
+    lm_tau: float = 1e-5            # initial lambda = tau * max(diag H)
+    # --- RANSAC initialisation (reference: Tracking.cc:4324-4443) ---
+    ransac_iters: int = 500         # hypothesis count (Tracking.cc:4362)
+    ransac_reproj_px: float = 0.3   # inlier reprojection gate (Tracking.cc:4363)
+    refine_gn_iters: int = 10       # polish best hypothesis on inliers
+    # --- synthetic depth-noise injection (Frame.cc:1089, testing mechanism) ---
+    depth_noise: bool = False       # sigma = z^2/(725*0.5)*0.15 when enabled
+    depth_noise_scale: float = 0.15
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentationConfig:
+    """Scene-flow-based motion segmentation (reference: Tracking.cc:1392-1635)."""
+
+    boundary_margin_v: float = 25.0   # image-top/bottom margin (Tracking.cc:1437)
+    boundary_margin_u: float = 50.0   # image-left/right margin
+    boundary_frac: float = 0.5        # discard object if > frac on boundary
+    min_obj_points: int = 100         # discard small objects (Tracking.cc:1447)
+    sf_thres: float = 0.12            # scene-flow x-z magnitude gate (Tracking.cc:1463)
+    sf_percent: float = 0.3           # static if > percent below sf_thres
+    max_obj_depth: float = 25.0       # discard far objects (Tracking.cc:1523)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    padding: PaddingConfig = dataclasses.field(default_factory=PaddingConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    segmentation: SegmentationConfig = dataclasses.field(default_factory=SegmentationConfig)
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,88 @@
+"""Online ground-truth evaluation — the reference's de-facto test suite
+(SURVEY.md §4): per-frame camera relative pose error, per-object motion RPE,
+speed error, flow-error histograms.  Formula-level replication of
+src/Tracking.cc:1322-1345 (camera) and :2199-2248 (objects)."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from multimot_track_tpu.geometry import se3
+
+
+class PoseRPE(NamedTuple):
+    t_abs: jnp.ndarray    # translation error magnitude (m)
+    r_abs: jnp.ndarray    # rotation error (deg)
+    t_rel: jnp.ndarray    # t_abs / ||t_gt||  (printed as %)
+    r_rel: jnp.ndarray    # r_abs / ||t_gt||  (deg/m)
+
+
+def camera_rpe(
+    Tcw_cur: jnp.ndarray,
+    Tcw_last: jnp.ndarray,
+    Tcw_gt_cur: jnp.ndarray,
+    Tcw_gt_last: jnp.ndarray,
+) -> PoseRPE:
+    """RePoEr = (Tcw_cur Twc_last_est) (Tcw_gt_last Twc_gt_cur)
+    — exactly src/Tracking.cc:1325-1345."""
+    T_lc_inv = Tcw_cur @ se3.inverse(Tcw_last)
+    T_lc_gt = Tcw_gt_last @ se3.inverse(Tcw_gt_cur)
+    E = T_lc_inv @ T_lc_gt
+    t_abs = jnp.linalg.norm(E[..., :3, 3], axis=-1)
+    r_abs = se3.rotation_angle_deg(E[..., :3, :3])
+    t_gt = jnp.linalg.norm(T_lc_gt[..., :3, 3], axis=-1)
+    return PoseRPE(t_abs, r_abs, t_abs / t_gt, r_abs / t_gt)
+
+
+class ObjMotionErr(NamedTuple):
+    t_abs: jnp.ndarray
+    r_abs: jnp.ndarray
+    t_rel: jnp.ndarray
+    r_rel: jnp.ndarray
+    speed_est: jnp.ndarray    # km/h
+    speed_gt: jnp.ndarray     # km/h
+    speed_err_rel: jnp.ndarray  # |est - gt| / gt
+
+
+def object_motion_error(
+    H_est: jnp.ndarray,       # (4,4) estimated world-frame object motion (vObjMod)
+    H_gt: jnp.ndarray,        # (4,4) ground-truth world-frame motion H_p_c
+    centre_pre: jnp.ndarray,  # (3,) object centroid in world at last frame
+    L_w_p_t: jnp.ndarray,     # (3,) GT object position (world) last frame
+    L_w_c_t: jnp.ndarray,     # (3,) GT object position (world) current frame
+) -> ObjMotionErr:
+    """Reference metric (1) "old proposed": E = H_est^-1 H_gt
+    (src/Tracking.cc:2218-2248); speed per :2178-2197."""
+    E = se3.inverse(H_est) @ H_gt
+    t_abs = jnp.linalg.norm(E[..., :3, 3], axis=-1)
+    r_abs = se3.rotation_angle_deg(E[..., :3, :3])
+    t_gt = jnp.linalg.norm(H_gt[..., :3, 3], axis=-1)
+
+    sp_gt = jnp.linalg.norm(L_w_p_t - L_w_c_t, axis=-1)
+    R = H_est[..., :3, :3]
+    t = H_est[..., :3, 3]
+    sp_est_v = t - jnp.einsum(
+        "...ij,...j->...i", jnp.eye(3, dtype=H_est.dtype) - R, centre_pre
+    )
+    sp_est = jnp.linalg.norm(sp_est_v, axis=-1)
+    return ObjMotionErr(
+        t_abs=t_abs,
+        r_abs=r_abs,
+        t_rel=t_abs / t_gt,
+        r_rel=r_abs / t_gt,
+        speed_est=sp_est * 36.0,   # m/0.1s -> km/h (Tracking.cc:2192)
+        speed_gt=sp_gt * 36.0,
+        speed_err_rel=jnp.abs(sp_est - sp_gt) / jnp.maximum(sp_gt, 1e-12),
+    )
+
+
+def flow_error_histogram(err: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """20-bin histogram of static-point flow error magnitudes, bin edges as in
+    src/Tracking.cc:1231-1274 (0.5 px bins to 9, then [9,10), [10,inf))."""
+    edges = jnp.concatenate(
+        [jnp.arange(0.0, 9.5, 0.5), jnp.asarray([10.0, jnp.inf])]
+    )
+    idx = jnp.clip(jnp.searchsorted(edges, err, side="right") - 1, 0, 19)
+    return jnp.zeros(20, jnp.int32).at[idx].add(valid.astype(jnp.int32))

@@ -1,0 +1,1 @@
+from multimot_track_tpu.geometry import se3, camera  # noqa: F401

@@ -1,0 +1,173 @@
+"""Per-frame observation tensors and frame-pair construction.
+
+Functional replacement for the reference's ``Frame`` object plus the
+correspondence-handoff logic in ``GrabImageRGBD`` (src/Tracking.cc:487-610):
+the current frame inherits the last frame's flow-shifted positions
+(``mvCorres``/``mvObjCorres``) so that index i in the pair refers to the
+same physical point in both frames — here that handoff is a pure function
+from (last FrameObservation, current images) to a ``PairInputs`` pytree.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from multimot_track_tpu.config import PipelineConfig
+from multimot_track_tpu.frontend import fast, sampling
+from multimot_track_tpu.geometry import camera
+
+
+class GTTable(NamedTuple):
+    """Ground-truth per-frame data, padded to k_obj_max entries."""
+
+    Tcw: jnp.ndarray        # (4, 4) GT world->camera pose (normalised)
+    obj_ids: jnp.ndarray    # (K,) int32 GT object ids (== mask labels)
+    obj_L: jnp.ndarray      # (K, 4, 4) camera-frame object poses
+    obj_valid: jnp.ndarray  # (K,) bool
+
+
+class FrameObservation(NamedTuple):
+    """A frame's own samples (reference mv*Tmp / mvObjKeys at construction)."""
+
+    static: sampling.StaticSamples
+    objects: sampling.ObjSamples
+    gt: GTTable
+
+
+class PairInputs(NamedTuple):
+    """Everything the per-pair tracking step consumes.  Index i of every
+    static (st_*) array refers to one physical background point observed in
+    the last frame at ``st_uv`` and in the current frame at ``st_cur_uv``;
+    likewise ob_* for dense object points."""
+
+    st_uv: jnp.ndarray         # (Ns, 2) last-frame position
+    st_flow: jnp.ndarray       # (Ns, 2) measured flow
+    st_depth: jnp.ndarray      # (Ns,)   last-frame depth
+    st_cur_uv: jnp.ndarray     # (Ns, 2) current position (= uv + flow)
+    st_cur_depth: jnp.ndarray  # (Ns,)   current-frame depth at cur position
+    st_valid: jnp.ndarray      # (Ns,) bool
+
+    ob_uv: jnp.ndarray         # (No, 2)
+    ob_flow: jnp.ndarray       # (No, 2)
+    ob_depth: jnp.ndarray      # (No,)
+    ob_label_last: jnp.ndarray  # (No,) last frame's own semantic label
+    ob_cur_uv: jnp.ndarray     # (No, 2)
+    ob_cur_depth: jnp.ndarray  # (No,)
+    ob_cur_label: jnp.ndarray  # (No,) semantic label at current position
+    ob_valid: jnp.ndarray      # (No,) bool
+
+    gt_last: GTTable
+    gt_cur: GTTable
+
+
+def build_frame_observation(
+    gray: jnp.ndarray,
+    depth_raw: jnp.ndarray,
+    flow: jnp.ndarray,
+    sem_mask: jnp.ndarray,
+    gt: GTTable,
+    cfg: PipelineConfig,
+) -> FrameObservation:
+    """Run the frontend on one frame's images (device-side)."""
+    cam = cfg.camera
+    fe = cfg.frontend
+    pad = cfg.padding
+    depth = camera.disparity_png_to_depth(depth_raw, cam.bf)
+    kp = fast.detect_pyramid(
+        gray,
+        threshold=float(fe.fast_threshold),
+        min_threshold=float(fe.fast_min_threshold),
+        n_levels=fe.n_levels,
+        scale_factor=fe.scale_factor,
+        n_total=fe.n_features,
+    )
+    static = sampling.sample_static(
+        kp.uv, kp.valid, depth, sem_mask, flow,
+        max_depth=fe.static_max_depth, n_max=pad.n_static_max,
+    )
+    objects = sampling.sample_dense_objects(
+        depth, sem_mask, flow,
+        step=fe.obj_sample_step, max_depth=fe.obj_max_depth,
+        n_max=pad.n_obj_pts_max,
+    )
+    return FrameObservation(static=static, objects=objects, gt=gt)
+
+
+def build_pair(
+    last: FrameObservation,
+    cur_depth_raw: jnp.ndarray,
+    cur_sem_mask: jnp.ndarray,
+    gt_cur: GTTable,
+    cfg: PipelineConfig,
+) -> PairInputs:
+    """Correspondence handoff (src/Tracking.cc:487-610).
+
+    Static: current positions are the last frame's flow-shifted corres;
+    current depth is looked up at round(pos) when strictly inside the image,
+    else the -1 sentinel (Tracking.cc:556-566).
+    Objects: current depth/label looked up likewise; out-of-bounds points
+    get depth 0.1 / label 0 (Tracking.cc:584-592).
+    """
+    cam = cfg.camera
+    cur_depth = camera.disparity_png_to_depth(cur_depth_raw, cam.bf)
+
+    st_cur_uv = last.static.corres
+    st_d, st_inb = camera.nearest_sample(cur_depth, st_cur_uv)
+    st_cur_depth = jnp.where(st_inb & (st_d > 0), st_d, -1.0)
+
+    ob_cur_uv = last.objects.corres
+    ob_d, ob_inb = camera.nearest_sample(cur_depth, ob_cur_uv)
+    ob_l, _ = camera.nearest_sample(cur_sem_mask, ob_cur_uv)
+    ob_cur_depth = jnp.where(ob_inb, ob_d, 0.1)
+    ob_cur_label = jnp.where(ob_inb, ob_l, 0)
+
+    return PairInputs(
+        st_uv=last.static.uv,
+        st_flow=last.static.flow,
+        st_depth=last.static.depth,
+        st_cur_uv=st_cur_uv,
+        st_cur_depth=st_cur_depth,
+        st_valid=last.static.valid & (last.static.depth > 0),
+        ob_uv=last.objects.uv,
+        ob_flow=last.objects.flow,
+        ob_depth=last.objects.depth,
+        ob_label_last=last.objects.label,
+        ob_cur_uv=ob_cur_uv,
+        ob_cur_depth=ob_cur_depth,
+        ob_cur_label=ob_cur_label,
+        ob_valid=last.objects.valid,
+        gt_last=last.gt,
+        gt_cur=gt_cur,
+    )
+
+
+def make_gt_table(pose_gt_raw, obj_ids, obj_poses, k_max: int, origin_inv=None):
+    """Host-side: normalise GT pose (Tcw = inv(Twc_disk), src/Tracking.cc:615-624)
+    and pad the object table."""
+    import numpy as np
+
+    Twc = np.asarray(pose_gt_raw, np.float32)
+    R = Twc[:3, :3]
+    t = Twc[:3, 3]
+    Tcw = np.eye(4, dtype=np.float32)
+    Tcw[:3, :3] = R.T
+    Tcw[:3, 3] = -R.T @ t
+    if origin_inv is not None:
+        Tcw = Tcw @ np.asarray(origin_inv, np.float32)
+    ids = np.zeros(k_max, np.int32)
+    Ls = np.tile(np.eye(4, dtype=np.float32), (k_max, 1, 1))
+    val = np.zeros(k_max, bool)
+    m = min(len(obj_ids), k_max)
+    if m:
+        ids[:m] = np.asarray(obj_ids[:m], np.int32)
+        Ls[:m] = np.asarray(obj_poses[:m], np.float32)
+        val[:m] = True
+    return GTTable(
+        Tcw=jnp.asarray(Tcw),
+        obj_ids=jnp.asarray(ids),
+        obj_L=jnp.asarray(Ls),
+        obj_valid=jnp.asarray(val),
+    )

@@ -1,0 +1,243 @@
+"""System facade: host-side orchestration of the per-pair device program.
+
+Replaces the reference's ``System``/``Tracking`` thread machinery
+(src/System.cc:34-116, src/Tracking.cc:951-2499) with a simple sequential
+host loop around one jitted pair step plus pure-host bookkeeping:
+
+* persistent object track IDs (the reference's ``nModLabel`` relabelling,
+  src/Tracking.cc:1556-1635) — small-integer logic, kept on host;
+* metric accumulators mirroring the reference ``Map`` evaluation stores
+  (``vvCamMotErr_*``, ``vvObjMotErr_*``, ``vmCameraPose_main``,
+  include/Map.h:69-90);
+* trajectory output in TUM / KITTI formats (src/System.cc:494-664).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimot_track_tpu.config import DEFAULT_CONFIG, PipelineConfig
+from multimot_track_tpu.pipeline import frames as F
+from multimot_track_tpu.pipeline import tracker
+from multimot_track_tpu.io.kitti import FrameData
+
+
+@dataclasses.dataclass
+class ObjectRecord:
+    frame: int
+    track_id: int
+    sem_label: int
+    H: np.ndarray              # (4, 4) world-frame motion
+    speed_est: float
+    speed_gt: float
+    t_rpe: float
+    r_rpe: float
+    t_rpe_rel: float
+    r_rpe_rel: float
+    speed_err_rel: float
+    n_points: int
+    n_inliers: int
+    centre3d: np.ndarray
+    bbox: np.ndarray
+    has_gt: bool
+
+
+@dataclasses.dataclass
+class MapState:
+    """Evaluation stores (reference Map, include/Map.h:69-90)."""
+
+    camera_poses: List[np.ndarray] = dataclasses.field(default_factory=list)  # Twc, vmCameraPose_main
+    timestamps: List[float] = dataclasses.field(default_factory=list)
+    cam_rpe_abs: List[np.ndarray] = dataclasses.field(default_factory=list)   # vvCamMotErr_1
+    cam_rpe_rel: List[np.ndarray] = dataclasses.field(default_factory=list)   # vvCamMotErr_2
+    obj_records: List[ObjectRecord] = dataclasses.field(default_factory=list)
+    tot_obj_num: List[int] = dataclasses.field(default_factory=list)          # vTotObjNum
+    flow_hists: List[np.ndarray] = dataclasses.field(default_factory=list)
+    frame_times: List[float] = dataclasses.field(default_factory=list)
+
+
+class MultiMotSystem:
+    """End-to-end RGB-D multi-motion tracking (reference System::TrackRGBD)."""
+
+    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG, seed: int = 0):
+        self.cfg = cfg
+        self.key = jax.random.PRNGKey(seed)
+        self.map = MapState()
+        self._last_obs: Optional[F.FrameObservation] = None
+        self._ctx: Optional[tracker.TrackContext] = None
+        self._frame_idx = 0
+        # persistent track-id assignment (nModLabel)
+        self._sem_to_track: Dict[int, int] = {}
+        self._next_track_id = 1
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        self.__init__(self.cfg)
+
+    def track_rgbd(self, fd: FrameData) -> Optional[tracker.PairResult]:
+        """Feed one frame; returns the PairResult once a pair exists."""
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        K = cfg.padding.k_obj_max
+        gt = F.make_gt_table(fd.pose_gt, fd.obj_ids_gt, fd.obj_poses_gt, K)
+        obs = F.build_frame_observation(
+            jnp.asarray(fd.gray),
+            jnp.asarray(fd.depth_raw),
+            jnp.asarray(fd.flow),
+            jnp.asarray(fd.sem_mask),
+            gt,
+            cfg,
+        )
+        if self._last_obs is None:
+            # StereoInitialization (src/Tracking.cc:2502): first pose = I
+            eye = jnp.eye(4)
+            self._ctx = tracker.TrackContext(
+                Tcw_last=eye,
+                H_prev_by_label=jnp.tile(eye, (K + 1, 1, 1)),
+                H_prev_valid=jnp.zeros(K + 1, bool),
+            )
+            self.map.camera_poses.append(np.eye(4, dtype=np.float32))
+            self.map.timestamps.append(fd.timestamp)
+            self._last_obs = obs
+            self._frame_idx += 1
+            self.map.frame_times.append(time.perf_counter() - t0)
+            return None
+
+        pair = F.build_pair(
+            self._last_obs, jnp.asarray(fd.depth_raw), jnp.asarray(fd.sem_mask), gt, cfg
+        )
+        step_key = jax.random.fold_in(self.key, self._frame_idx)
+        result = tracker.track_pair(step_key, pair, self._ctx, cfg)
+        result = jax.block_until_ready(result)
+
+        self._record(result, fd)
+        self._ctx = tracker.next_context(result, K)
+        self._last_obs = obs
+        self._frame_idx += 1
+        self.map.frame_times.append(time.perf_counter() - t0)
+        return result
+
+    # ------------------------------------------------------------------
+    def _record(self, r: tracker.PairResult, fd: FrameData):
+        m = self.map
+        Twc = np.asarray(jnp.linalg.inv(r.Tcw_cur))
+        m.camera_poses.append(Twc.astype(np.float32))
+        m.timestamps.append(fd.timestamp)
+        m.cam_rpe_abs.append(np.asarray([float(r.cam_t_rpe), float(r.cam_r_rpe)]))
+        m.cam_rpe_rel.append(np.asarray([float(r.cam_t_rpe_rel), float(r.cam_r_rpe_rel)]))
+        m.flow_hists.append(np.asarray(r.flow_hist))
+        ob = r.objects
+        seen = np.asarray(ob.seen)
+        active = np.asarray(ob.active)
+        m.tot_obj_num.append(int(seen.sum()))
+
+        # persistent ID association (src/Tracking.cc:1556-1635)
+        new_map: Dict[int, int] = {}
+        mode = np.asarray(ob.mode_last_label)
+        for slot in range(len(active)):
+            if not active[slot]:
+                continue
+            sem_label = slot + 1
+            prev_sem = int(mode[slot])
+            if prev_sem in self._sem_to_track and self._frame_idx > 1:
+                tid = self._sem_to_track[prev_sem]
+            else:
+                tid = self._next_track_id
+                self._next_track_id += 1
+            new_map[sem_label] = tid
+            m.obj_records.append(
+                ObjectRecord(
+                    frame=self._frame_idx,
+                    track_id=tid,
+                    sem_label=sem_label,
+                    H=np.asarray(ob.H[slot]),
+                    speed_est=float(ob.speed_est[slot]),
+                    speed_gt=float(ob.speed_gt[slot]),
+                    t_rpe=float(ob.t_rpe[slot]),
+                    r_rpe=float(ob.r_rpe[slot]),
+                    t_rpe_rel=float(ob.t_rpe_rel[slot]),
+                    r_rpe_rel=float(ob.r_rpe_rel[slot]),
+                    speed_err_rel=float(ob.speed_err_rel[slot]),
+                    n_points=int(ob.n_points[slot]),
+                    n_inliers=int(ob.n_inliers[slot]),
+                    centre3d=np.asarray(ob.centre3d[slot]),
+                    bbox=np.asarray(ob.bbox[slot]),
+                    has_gt=bool(ob.has_gt[slot]),
+                )
+            )
+        self._sem_to_track = new_map
+
+    # ------------------------------------------------------------------
+    def summary(self) -> dict:
+        m = self.map
+        cam = np.asarray(m.cam_rpe_rel) if m.cam_rpe_rel else np.zeros((0, 2))
+        objs = [o for o in m.obj_records if o.has_gt]
+        return {
+            "n_frames": self._frame_idx,
+            "cam_t_rpe_rel_mean": float(cam[:, 0].mean()) if len(cam) else None,
+            "cam_r_rpe_rel_mean": float(cam[:, 1].mean()) if len(cam) else None,
+            "obj_t_rpe_rel_mean": float(np.mean([o.t_rpe_rel for o in objs])) if objs else None,
+            "obj_r_rpe_rel_mean": float(np.mean([o.r_rpe_rel for o in objs])) if objs else None,
+            "obj_speed_err_rel_mean": float(np.mean([o.speed_err_rel for o in objs])) if objs else None,
+            "n_obj_estimates": len(m.obj_records),
+            "mean_frame_time_s": float(np.mean(m.frame_times)) if m.frame_times else None,
+            "median_frame_time_s": float(np.median(m.frame_times)) if m.frame_times else None,
+        }
+
+    # ------------------------------------------------------------------
+    def save_trajectory_kitti(self, path):
+        """3x4 row-major Twc per line (src/System.cc:600-664)."""
+        with open(path, "w") as f:
+            for T in self.map.camera_poses:
+                f.write(" ".join(f"{v:.9e}" for v in T[:3].reshape(-1)) + "\n")
+
+    def save_trajectory_tum(self, path):
+        """timestamp tx ty tz qx qy qz qw (src/System.cc:494-561)."""
+        from scipy.spatial.transform import Rotation
+
+        with open(path, "w") as f:
+            for ts, T in zip(self.map.timestamps, self.map.camera_poses):
+                q = Rotation.from_matrix(T[:3, :3]).as_quat()  # x y z w
+                t = T[:3, 3]
+                f.write(
+                    f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
+
+    def save_results(self, out_dir):
+        """Object-motion + camera results dump (System::SaveResults analog)."""
+        import pathlib
+
+        out = pathlib.Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        self.save_trajectory_kitti(out / "camera_pose.txt")
+        with open(out / "object_motion.txt", "w") as f:
+            for o in self.map.obj_records:
+                f.write(
+                    f"{o.frame} {o.track_id} {o.sem_label} "
+                    + " ".join(f"{v:.9e}" for v in o.H[:3].reshape(-1))
+                    + f" {o.speed_est:.4f}\n"
+                )
+
+
+def run_sequence(seq, cfg: PipelineConfig = DEFAULT_CONFIG, n_frames: Optional[int] = None,
+                 verbose: bool = False):
+    """Drive a KittiSequence end-to-end (reference rgbd_mmt main loop)."""
+    sys_ = MultiMotSystem(cfg)
+    n = len(seq) if n_frames is None else min(n_frames, len(seq))
+    for i in range(n):
+        r = sys_.track_rgbd(seq.load_frame(i))
+        if verbose and r is not None:
+            print(
+                f"frame {i}: cam RPE t={float(r.cam_t_rpe_rel)*100:.4f}% "
+                f"R={float(r.cam_r_rpe_rel):.4f}deg/m "
+                f"inliers={int(r.n_static_inliers)}/{int(r.n_static)} "
+                f"objects={int(np.asarray(r.objects.active).sum())}"
+            )
+    return sys_

@@ -1,0 +1,286 @@
+"""The per-frame-pair multi-motion tracking step — one jitted device program.
+
+This is the TPU-native equivalent of the reference's multi-motion phase of
+``Tracking::Track()`` (src/Tracking.cc:1179-2253): ego flow-BA, sparse scene
+flow, per-object grouping/static-dynamic classification, per-object
+RANSAC + flow-BA motion estimation, and online GT evaluation.
+
+Design (SURVEY.md §2.5, §7): objects are a *batch axis*.  Instead of the
+reference's sequential per-object loop, every possible semantic label slot
+l in 1..K is solved simultaneously under ``vmap`` with per-label membership
+masks over the full padded point set — no gathers, no dynamic shapes, and
+an inactive label costs only masked lanes.  The whole step (camera RANSAC +
+LM, K object RANSACs + LMs, segmentation, metrics) compiles to a single
+XLA program per configuration.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from multimot_track_tpu.config import PipelineConfig
+from multimot_track_tpu.eval import metrics
+from multimot_track_tpu.geometry import camera, se3
+from multimot_track_tpu.pipeline.frames import PairInputs
+from multimot_track_tpu.solvers import ransac
+from multimot_track_tpu.solvers.flow_ba import FlowBAParams, solve_flow_ba
+
+
+class TrackContext(NamedTuple):
+    """State carried from the previous pair (host-managed)."""
+
+    Tcw_last: jnp.ndarray          # (4, 4) estimated pose of the last frame
+    H_prev_by_label: jnp.ndarray   # (K+1, 4, 4) last frame's world-frame object
+    #                                 motion indexed by semantic label (0 unused)
+    H_prev_valid: jnp.ndarray      # (K+1,) bool
+
+
+class ObjectOutputs(NamedTuple):
+    """Per-semantic-label-slot outputs; slot l corresponds to label l+1."""
+
+    seen: jnp.ndarray        # group passed boundary+size filters (vTotObjNum)
+    is_static: jnp.ndarray   # classified static by scene flow
+    active: jnp.ndarray      # solved as a dynamic object
+    n_points: jnp.ndarray    # member count
+    mode_last_label: jnp.ndarray  # most frequent last-frame label (association)
+    H: jnp.ndarray           # (K, 4, 4) world-frame motion (vObjMod)
+    n_inliers: jnp.ndarray   # flow-BA inlier count
+    centre3d: jnp.ndarray    # (K, 3) current world centroid (vObjCentre3D)
+    bbox: jnp.ndarray        # (K, 4) x_min, y_min, x_max, y_max (+-1 extended)
+    speed_est: jnp.ndarray   # km/h
+    speed_gt: jnp.ndarray
+    t_rpe: jnp.ndarray
+    r_rpe: jnp.ndarray
+    t_rpe_rel: jnp.ndarray
+    r_rpe_rel: jnp.ndarray
+    speed_err_rel: jnp.ndarray
+    has_gt: jnp.ndarray
+
+
+class PairResult(NamedTuple):
+    Tcw_cur: jnp.ndarray
+    cam_t_rpe: jnp.ndarray
+    cam_r_rpe: jnp.ndarray
+    cam_t_rpe_rel: jnp.ndarray
+    cam_r_rpe_rel: jnp.ndarray
+    n_static: jnp.ndarray
+    n_static_inliers: jnp.ndarray
+    flow_hist: jnp.ndarray          # (20,) static flow-error histogram
+    objects: ObjectOutputs
+    obj_label_map: jnp.ndarray      # (No,) per-point labels: -2 unprocessed,
+    #                                  -1 outlier, 0 static, l>=1 object slot+1
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_pair(
+    key: jax.Array,
+    pair: PairInputs,
+    ctx: TrackContext,
+    cfg: PipelineConfig,
+) -> PairResult:
+    cam = cfg.camera
+    sol = cfg.solver
+    seg = cfg.segmentation
+    K = cfg.padding.k_obj_max
+    fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+
+    k_ego, k_obj = jax.random.split(key)
+    Twl = se3.inverse(ctx.Tcw_last)
+
+    # ---------------- ego-motion: RANSAC init + flow-BA ----------------
+    Xw_st = se3.transform(Twl, camera.backproject(pair.st_uv, pair.st_depth, fx, fy, cx, cy))
+    xyz_cur_st = camera.backproject(pair.st_cur_uv, pair.st_cur_depth, fx, fy, cx, cy)
+    st_pnp_valid = pair.st_valid & (pair.st_cur_depth > 0)
+    rr = ransac.ransac_rigid_pose(
+        k_ego, Xw_st, pair.st_cur_uv, xyz_cur_st, st_pnp_valid,
+        fx, fy, cx, cy,
+        thresh=sol.ransac_reproj_px, iters=sol.ransac_iters,
+        refine_iters=sol.refine_gn_iters,
+    )
+    cam_params = FlowBAParams(
+        reproj_info=sol.reproj_info,
+        prior_info=sol.cam_flow_prior_info,
+        rp_thres=sol.cam_rp_thres,
+        iters=sol.cam_lm_iters,
+        tau=sol.lm_tau,
+    )
+    cam_res = solve_flow_ba(
+        rr.T, Twl, pair.st_uv, pair.st_flow, pair.st_depth, pair.st_valid,
+        fx, fy, cx, cy, params=cam_params,
+    )
+    n_st = jnp.sum(pair.st_valid.astype(jnp.int32))
+    Tcw_cur = jnp.where(n_st >= 3, cam_res.T, ctx.Tcw_last)
+    Twc_cur = se3.inverse(Tcw_cur)
+
+    cam_rpe = metrics.camera_rpe(Tcw_cur, ctx.Tcw_last, pair.gt_cur.Tcw, pair.gt_last.Tcw)
+
+    # static flow-error histogram vs GT correspondence (src/Tracking.cc:1203-1283)
+    Xc_gt = se3.transform(pair.gt_cur.Tcw, Xw_st)
+    uv_gt = camera.project(Xc_gt, fx, fy, cx, cy)
+    flow_err = jnp.linalg.norm(pair.st_cur_uv - uv_gt, axis=-1)
+    flow_hist = metrics.flow_error_histogram(flow_err, pair.st_valid)
+
+    # ---------------- sparse scene flow (GetSceneFlowObj) ----------------
+    Xp_w = se3.transform(Twl, camera.backproject(pair.ob_uv, pair.ob_depth, fx, fy, cx, cy))
+    Xc_w = se3.transform(Twc_cur, camera.backproject(pair.ob_cur_uv, pair.ob_cur_depth, fx, fy, cx, cy))
+    flow3 = Xc_w - Xp_w
+    pt_ok = pair.ob_valid & (pair.ob_cur_label > 0) & (pair.ob_label_last > 0)
+
+    # ---------------- grouping + static/dynamic (Tracking.cc:1392-1529) ----
+    labels = jnp.arange(1, K + 1, dtype=jnp.int32)               # slots
+    member = pt_ok[None, :] & (pair.ob_cur_label[None, :] == labels[:, None])  # (K, No)
+    mf = member.astype(jnp.float32)
+    count = jnp.sum(mf, axis=1)
+    u, v = pair.ob_cur_uv[:, 0], pair.ob_cur_uv[:, 1]
+    H_img, W_img = cam.height, cam.width
+    on_boundary = (
+        (v < seg.boundary_margin_v)
+        | (v > H_img - seg.boundary_margin_v)
+        | (u < seg.boundary_margin_u)
+        | (u > W_img - seg.boundary_margin_u)
+    )
+    bnd_frac = jnp.sum(mf * on_boundary[None, :], axis=1) / jnp.maximum(count, 1.0)
+    sf_norm = jnp.sqrt(flow3[:, 0] ** 2 + flow3[:, 2] ** 2)
+    sf_frac = jnp.sum(mf * (sf_norm < seg.sf_thres)[None, :], axis=1) / jnp.maximum(count, 1.0)
+    depth_mean = jnp.sum(mf * pair.ob_cur_depth[None, :], axis=1) / jnp.maximum(count, 1.0)
+
+    not_boundary = bnd_frac <= seg.boundary_frac
+    big_enough = count > seg.min_obj_points
+    seen = not_boundary & big_enough                 # survives to ObjId (vTotObjNum)
+    is_static = seen & (sf_frac > seg.sf_percent)
+    near_enough = depth_mean <= seg.max_obj_depth
+    active = seen & ~is_static & near_enough         # ObjIdNew: gets a motion solve
+
+    # association: most frequent last-frame label among members
+    last_onehot = (pair.ob_label_last[None, :] == labels[:, None]).astype(jnp.float32)
+    cross = jnp.einsum("kn,ln->kl", mf, last_onehot)   # (K cur, K last)
+    mode_last = jnp.where(count > 0, labels[jnp.argmax(cross, axis=1)], 0)
+
+    # ---------------- per-object init + flow-BA (vmapped over K) ----------
+    xyz_cur_ob = camera.backproject(pair.ob_cur_uv, pair.ob_cur_depth, fx, fy, cx, cy)
+    obj_params = FlowBAParams(
+        reproj_info=sol.reproj_info,
+        prior_info=sol.obj_flow_prior_info,
+        rp_thres=sol.obj_rp_thres,
+        iters=sol.obj_lm_iters,
+        tau=sol.lm_tau,
+    )
+
+    def solve_one(k_rng, memb, mode_lab):
+        rrk = ransac.ransac_rigid_pose(
+            k_rng, Xp_w, pair.ob_cur_uv, xyz_cur_ob, memb,
+            fx, fy, cx, cy,
+            thresh=sol.ransac_reproj_px, iters=sol.ransac_iters,
+            refine_iters=sol.refine_gn_iters,
+        )
+        # motion-model alternative (GetInitModelObj, Tracking.cc:4377-4436)
+        H_prev = ctx.H_prev_by_label[mode_lab]
+        has_prev = ctx.H_prev_valid[mode_lab]
+        MM = Tcw_cur @ H_prev
+        inl_mm, n_mm = ransac._count_inliers(
+            MM, Xp_w, pair.ob_cur_uv, memb, sol.ransac_reproj_px, fx, fy, cx, cy
+        )
+        use_mm = has_prev & (n_mm >= rrk.n_inliers)
+        T_init = jnp.where(use_mm, MM, rrk.T)
+        subset = jnp.where(use_mm, inl_mm, rrk.inliers)
+        n_subset = jnp.sum(subset.astype(jnp.int32))
+
+        res = solve_flow_ba(
+            T_init, Twl, pair.ob_uv, pair.ob_flow, pair.ob_depth, subset,
+            fx, fy, cx, cy, params=obj_params,
+        )
+        P = jnp.where(n_subset >= 3, res.T, jnp.eye(4, dtype=res.T.dtype))
+        H_world = se3.inverse(Tcw_cur) @ P                  # vObjMod (Tracking.cc:2129)
+        sw = subset.astype(jnp.float32)
+        centre_pre = jnp.sum(Xp_w * sw[:, None], axis=0) / jnp.maximum(jnp.sum(sw), 1.0)
+        return H_world, res.n_inliers, centre_pre, subset
+
+    keys = jax.random.split(k_obj, K)
+    H_world, n_inl, centre_pre, subsets = jax.vmap(solve_one)(keys, member, mode_last)
+
+    # current-frame world centroid + bbox over all members (Tracking.cc:1694-1902)
+    centre3d = jnp.einsum("kn,ni->ki", mf, Xc_w) / jnp.maximum(count[:, None], 1.0)
+    big = 1e9
+    u_min = jnp.min(jnp.where(member, u[None, :], big), axis=1) - 1.0
+    u_max = jnp.max(jnp.where(member, u[None, :], -big), axis=1) + 1.0
+    v_min = jnp.min(jnp.where(member, v[None, :], big), axis=1) - 1.0
+    v_max = jnp.max(jnp.where(member, v[None, :], -big), axis=1) + 1.0
+    bbox = jnp.stack([u_min, v_min, u_max, v_max], axis=-1)
+
+    # ---------------- GT object motion + metrics (Tracking.cc:1663-2248) ---
+    Twc_gt_last = se3.inverse(pair.gt_last.Tcw)
+    Twc_gt_cur = se3.inverse(pair.gt_cur.Tcw)
+
+    def gt_lookup(tab, Twc_gt, lab):
+        hit = tab.obj_valid & (tab.obj_ids == lab)
+        idx = jnp.argmax(hit)
+        L = tab.obj_L[idx]
+        return jnp.any(hit), Twc_gt @ L
+
+    def obj_metrics(lab, Hw, cpre):
+        ok_p, L_w_p = gt_lookup(pair.gt_last, Twc_gt_last, lab)
+        ok_c, L_w_c = gt_lookup(pair.gt_cur, Twc_gt_cur, lab)
+        H_gt = L_w_c @ se3.inverse(L_w_p)
+        m = metrics.object_motion_error(Hw, H_gt, cpre, L_w_p[:3, 3], L_w_c[:3, 3])
+        return ok_p & ok_c, m
+
+    has_gt, om = jax.vmap(obj_metrics)(labels, H_world, centre_pre)
+
+    # ---------------- per-point label map (vObjLabel semantics) ------------
+    # -2 unprocessed, -1 outlier, 0 static background, k>=1 object slot
+    lab_map = jnp.full(pair.ob_valid.shape, -2, jnp.int32)
+    lab_map = jnp.where(pair.ob_valid & ~pt_ok, -1, lab_map)
+    slot_of_label = jnp.zeros(K + 1, jnp.int32)
+    slot_of_label = slot_of_label.at[1:].set(
+        jnp.where(active, labels, jnp.where(is_static, 0, -1))
+    )
+    lab_map = jnp.where(pt_ok, slot_of_label[pair.ob_cur_label], lab_map)
+
+    objects = ObjectOutputs(
+        seen=seen,
+        is_static=is_static,
+        active=active,
+        n_points=count.astype(jnp.int32),
+        mode_last_label=mode_last,
+        H=H_world,
+        n_inliers=n_inl,
+        centre3d=centre3d,
+        bbox=bbox,
+        speed_est=om.speed_est,
+        speed_gt=om.speed_gt,
+        t_rpe=om.t_abs,
+        r_rpe=om.r_abs,
+        t_rpe_rel=om.t_rel,
+        r_rpe_rel=om.r_rel,
+        speed_err_rel=om.speed_err_rel,
+        has_gt=has_gt,
+    )
+    return PairResult(
+        Tcw_cur=Tcw_cur,
+        cam_t_rpe=cam_rpe.t_abs,
+        cam_r_rpe=cam_rpe.r_abs,
+        cam_t_rpe_rel=cam_rpe.t_rel,
+        cam_r_rpe_rel=cam_rpe.r_rel,
+        n_static=n_st,
+        n_static_inliers=cam_res.n_inliers,
+        flow_hist=flow_hist,
+        objects=objects,
+        obj_label_map=lab_map,
+    )
+
+
+def next_context(result: PairResult, k_obj_max: int) -> TrackContext:
+    """Fold a pair's outputs into the context for the next pair: current
+    per-label motions become next frame's motion models (keyed by current
+    semantic label, which is next pair's 'last own label' space)."""
+    K = k_obj_max
+    H_by = jnp.tile(jnp.eye(4, dtype=result.Tcw_cur.dtype), (K + 1, 1, 1))
+    H_by = H_by.at[1:].set(result.objects.H)
+    valid = jnp.zeros(K + 1, bool).at[1:].set(result.objects.active)
+    return TrackContext(
+        Tcw_last=result.Tcw_cur, H_prev_by_label=H_by, H_prev_valid=valid
+    )
