@@ -1,0 +1,92 @@
+"""Multi-frame point tracks chained through dense optical flow.
+
+The reference's active path only ever relates frame k-1 to k (window of 2,
+SURVEY.md §5); longer temporal structure lives in its keyframe/map-point
+machinery.  The TPU-native analog: chain the *dense* flow fields to carry a
+window's worth of observations per point — a `lax.scan` over stacked flow
+tensors — feeding the windowed BA (solvers/window_ba.py), which plays the
+role of LocalMapping's local bundle adjustment (src/LocalMapping.cc +
+src/Optimizer.cc:3341).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from multimot_track_tpu.geometry import camera
+
+
+class Tracks(NamedTuple):
+    uv: jnp.ndarray      # (F, N, 2) per-frame positions (frame 0 = keypoints)
+    alive: jnp.ndarray   # (F, N) observation validity (monotone decreasing)
+
+
+def chain_tracks(
+    start_uv: jnp.ndarray,      # (N, 2) keypoints in frame 0
+    start_valid: jnp.ndarray,   # (N,)
+    flows: jnp.ndarray,         # (F-1, H, W, 2) flow fields k -> k+1
+    sem_masks: jnp.ndarray,     # (F, H, W) instance masks (0 = static)
+    margin: float = 2.0,
+) -> Tracks:
+    """Propagate keypoints through the flow chain; a track dies when it
+    leaves the image or lands on a (dynamic-candidate) instance mask."""
+    F = flows.shape[0] + 1
+    H, W = flows.shape[1], flows.shape[2]
+
+    def step(carry, inp):
+        pos, alive = carry
+        flow_f, mask_next = inp
+        fl = camera.bilinear_sample(flow_f, pos)
+        nxt = pos + fl
+        inb = (
+            (nxt[:, 0] >= margin)
+            & (nxt[:, 0] < W - margin)
+            & (nxt[:, 1] >= margin)
+            & (nxt[:, 1] < H - margin)
+        )
+        lab, _ = camera.nearest_sample(mask_next, nxt)
+        alive_n = alive & inb & (lab == 0)
+        return (nxt, alive_n), (nxt, alive_n)
+
+    (_, _), (uvs, alives) = jax.lax.scan(
+        step, (start_uv, start_valid), (flows, sem_masks[1:])
+    )
+    uv = jnp.concatenate([start_uv[None], uvs], axis=0)
+    alive = jnp.concatenate([start_valid[None], alives], axis=0)
+    return Tracks(uv=uv, alive=alive)
+
+
+def link_detections(
+    kp_uv: jnp.ndarray,       # (F, N, 2) per-frame detected keypoints
+    kp_valid: jnp.ndarray,    # (F, N)
+    match_idx: jnp.ndarray,   # (F-1, N) match of frame-f kp -> frame-(f+1) kp
+    match_ok: jnp.ndarray,    # (F-1, N) match validity
+) -> Tracks:
+    """Chain per-frame *detected* keypoints through descriptor matches.
+
+    Unlike ``chain_tracks`` the observations are re-detected every frame, so
+    track positions carry no accumulated flow drift — this is the analog of
+    the reference's map-point tracks (MapPoint observations across
+    keyframes) and the preferred input to the windowed BA.  Track i follows
+    frame-0 keypoint i; its frame-f position is the matched detection.
+    """
+    F = kp_uv.shape[0]
+
+    def step(carry, inp):
+        cur, alive = carry
+        idx_f, ok_f, uv_next, val_next = inp
+        nxt = idx_f[cur]
+        alive_n = alive & ok_f[cur] & val_next[nxt]
+        pos = uv_next[nxt]
+        return (nxt, alive_n), (pos, alive_n)
+
+    init = (jnp.arange(kp_uv.shape[1], dtype=jnp.int32), kp_valid[0])
+    (_, _), (uvs, alives) = jax.lax.scan(
+        step, init, (match_idx, match_ok, kp_uv[1:], kp_valid[1:])
+    )
+    uv = jnp.concatenate([kp_uv[:1], uvs], axis=0)
+    alive = jnp.concatenate([kp_valid[:1], alives], axis=0)
+    return Tracks(uv=uv, alive=alive)

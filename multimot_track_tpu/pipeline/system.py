@@ -63,9 +63,22 @@ class MapState:
 
 
 class MultiMotSystem:
-    """End-to-end RGB-D multi-motion tracking (reference System::TrackRGBD)."""
+    """End-to-end RGB-D multi-motion tracking (reference System::TrackRGBD).
 
-    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG, seed: int = 0):
+    Failure handling mirrors the reference's tracking-state machine
+    (include/Tracking.h:154-160 + fallback ladder src/Tracking.cc:992-1011):
+    a pair whose ego solve keeps too few inliers is marked LOST; the pose
+    falls back to the constant-velocity model, and tracking re-anchors on
+    the next well-constrained pair.  A LOST streak longer than
+    ``max_lost_frames`` triggers a reset (Tracking.cc:1164-1173 resets when
+    lost soon after initialisation).
+    """
+
+    STATE_OK = "OK"
+    STATE_LOST = "LOST"
+
+    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG, seed: int = 0,
+                 min_inliers: int = 10, max_lost_frames: int = 5):
         self.cfg = cfg
         self.key = jax.random.PRNGKey(seed)
         self.map = MapState()
@@ -75,10 +88,58 @@ class MultiMotSystem:
         # persistent track-id assignment (nModLabel)
         self._sem_to_track: Dict[int, int] = {}
         self._next_track_id = 1
+        self.state = self.STATE_OK
+        self.min_inliers = min_inliers
+        self.max_lost_frames = max_lost_frames
+        self._lost_streak = 0
+        self._velocity = np.eye(4, dtype=np.float32)  # mVelocity analog
 
     # ------------------------------------------------------------------
     def reset(self):
         self.__init__(self.cfg)
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path):
+        """Serialize resumable state (the reference's unimplemented map
+        save/load TODO, include/System.h:117-119)."""
+        import pickle
+
+        ctx = jax.tree_util.tree_map(np.asarray, self._ctx) if self._ctx else None
+        obs = jax.tree_util.tree_map(np.asarray, self._last_obs) if self._last_obs else None
+        with open(path, "wb") as f:
+            pickle.dump(
+                {
+                    "frame_idx": self._frame_idx,
+                    "ctx": ctx,
+                    "last_obs": obs,
+                    "map": self.map,
+                    "sem_to_track": self._sem_to_track,
+                    "next_track_id": self._next_track_id,
+                    "state": self.state,
+                    "velocity": self._velocity,
+                },
+                f,
+            )
+
+    def load_checkpoint(self, path):
+        import pickle
+
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        self._frame_idx = d["frame_idx"]
+        self._ctx = (
+            jax.tree_util.tree_map(jnp.asarray, d["ctx"]) if d["ctx"] is not None else None
+        )
+        self._last_obs = (
+            jax.tree_util.tree_map(jnp.asarray, d["last_obs"])
+            if d["last_obs"] is not None
+            else None
+        )
+        self.map = d["map"]
+        self._sem_to_track = d["sem_to_track"]
+        self._next_track_id = d["next_track_id"]
+        self.state = d["state"]
+        self._velocity = d["velocity"]
 
     def track_rgbd(self, fd: FrameData) -> Optional[tracker.PairResult]:
         """Feed one frame; returns the PairResult once a pair exists."""
@@ -115,6 +176,22 @@ class MultiMotSystem:
         step_key = jax.random.fold_in(self.key, self._frame_idx)
         result = tracker.track_pair(step_key, pair, self._ctx, cfg)
         result = jax.block_until_ready(result)
+
+        # --- tracking-state machine + constant-velocity fallback ---
+        Tcw_last = np.asarray(self._ctx.Tcw_last)
+        if int(result.n_static_inliers) < self.min_inliers:
+            self.state = self.STATE_LOST
+            self._lost_streak += 1
+            Tcw_fallback = self._velocity @ Tcw_last
+            result = result._replace(Tcw_cur=jnp.asarray(Tcw_fallback))
+            if self._lost_streak > self.max_lost_frames:
+                # reference: full reset when lost persists (Tracking.cc:1164)
+                self._sem_to_track.clear()
+                self._lost_streak = 0
+        else:
+            self.state = self.STATE_OK
+            self._lost_streak = 0
+            self._velocity = np.asarray(result.Tcw_cur) @ np.linalg.inv(Tcw_last)
 
         self._record(result, fd)
         self._ctx = tracker.next_context(result, K)
