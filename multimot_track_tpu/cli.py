@@ -1,0 +1,94 @@
+"""Command-line driver — the ``rgbd_mmt`` executable's role
+(Examples/RGB-D/rgbd_tum.cc): load a sequence, run multi-motion tracking,
+print per-frame metrics, dump trajectories/results/visualisations.
+
+  python -m multimot_track_tpu.cli <sequence_dir> [--settings kitti03.yaml]
+      [--frames N] [--out DIR] [--viz] [--profile]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native multi-motion tracking")
+    ap.add_argument("sequence", help="KITTI-format sequence directory")
+    ap.add_argument("--settings", help="OpenCV-YAML settings (e.g. kitti03.yaml)")
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--out", default=None, help="results output directory")
+    ap.add_argument("--viz", action="store_true", help="render overlays per frame")
+    ap.add_argument("--profile", action="store_true", help="print stage timing")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from multimot_track_tpu.config import DEFAULT_CONFIG
+    from multimot_track_tpu.io.native_loader import get_sequence
+    from multimot_track_tpu.io.yamlcfg import config_from_yaml
+    from multimot_track_tpu.pipeline.system import MultiMotSystem
+    from multimot_track_tpu.viz import render
+
+    cfg = DEFAULT_CONFIG
+    if args.settings:
+        cfg = config_from_yaml(args.settings, cfg)
+    elif (pathlib.Path(args.sequence) / "kitti03.yaml").exists():
+        cfg = config_from_yaml(pathlib.Path(args.sequence) / "kitti03.yaml", cfg)
+
+    seq = get_sequence(args.sequence)
+    n = len(seq) if args.frames is None else min(args.frames, len(seq))
+    sys_ = MultiMotSystem(cfg)
+    out = pathlib.Path(args.out) if args.out else None
+    if out:
+        out.mkdir(parents=True, exist_ok=True)
+
+    for i in range(n):
+        fd = seq.load_frame(i)
+        r = sys_.track_rgbd(fd)
+        if r is None:
+            print(f"frame {i}: initialised")
+            continue
+        ob = r.objects
+        active = np.asarray(ob.active)
+        print(
+            f"frame {i}: cam RPE t={float(r.cam_t_rpe_rel)*100:.4f}% "
+            f"R={float(r.cam_r_rpe_rel):.4f}deg/m "
+            f"inliers={int(r.n_static_inliers)}/{int(r.n_static)} "
+            f"objects={int(active.sum())} state={sys_.state}"
+        )
+        for slot in np.flatnonzero(active):
+            print(
+                f"  obj label={slot+1}: speed {float(ob.speed_est[slot]):.1f}"
+                f"/{float(ob.speed_gt[slot]):.1f} km/h  "
+                f"RPE t={float(ob.t_rpe_rel[slot])*100:.2f}% "
+                f"R={float(ob.r_rpe_rel[slot]):.4f}deg/m"
+            )
+        if args.viz and out:
+            bbs = [np.asarray(ob.bbox[s]) for s in np.flatnonzero(active)]
+            labs = [int(s) + 1 for s in np.flatnonzero(active)]
+            spds = [float(ob.speed_est[s]) for s in np.flatnonzero(active)]
+            render.draw_objects(fd.gray, bbs, labs, spds, path=out / f"speed_{i:06d}.png")
+
+    print("\nsummary:", json.dumps(sys_.summary(), indent=2))
+    if out:
+        sys_.save_results(out)
+        render.draw_trajectory(
+            [np.asarray(p) for p in sys_.map.camera_poses], path=out / "traj.png"
+        )
+        print(f"results written to {out}")
+    if hasattr(seq, "close"):
+        seq.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
