@@ -48,10 +48,17 @@ def exp_so3(omega: jnp.ndarray) -> jnp.ndarray:
 
 
 def log_so3(R: jnp.ndarray) -> jnp.ndarray:
-    """Inverse Rodrigues: (..., 3, 3) -> (..., 3)."""
+    """Inverse Rodrigues: (..., 3, 3) -> (..., 3).
+
+    Differentiation-safe at theta -> 0: the arccos/sin branch is evaluated
+    on sanitised inputs (double-where) so jacfwd/jacrev through residuals
+    of near-identity transforms (pose-graph odometry edges) stay finite.
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    small = cos_t > 1.0 - 1e-6          # theta < ~1.4e-3
+    cos_safe = jnp.where(small, 0.0, cos_t)   # keep arccos grad finite
+    theta = jnp.arccos(cos_safe)
     w = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -61,12 +68,9 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )
     sin_t = jnp.sin(theta)
-    # theta/(2 sin theta), Taylor near 0
-    scale = jnp.where(
-        jnp.abs(sin_t) < 1e-6,
-        0.5 + theta * theta / 12.0,
-        theta / (2.0 * sin_t + _EPS),
-    )
+    sin_safe = jnp.where(small, 1.0, sin_t)
+    # theta/(2 sin theta); at theta << 1 the correction is O(theta^2) < 1e-6
+    scale = jnp.where(small, 0.5, theta / (2.0 * sin_safe))
     # NOTE: near theta = pi this loses precision; the pipeline only sees
     # frame-to-frame motions (theta << pi) so the simple formula suffices.
     return scale[..., None] * w

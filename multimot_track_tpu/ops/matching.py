@@ -113,6 +113,35 @@ def match_projected(
     return MatchResult(idx=idx.astype(jnp.int32), dist=best, valid=ok)
 
 
+@functools.partial(jax.jit, static_argnames=("mutual", "ratio"))
+def match_float(
+    desc_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    ratio: float = 0.8,
+    mutual: bool = True,
+) -> MatchResult:
+    """Float-descriptor matching (SIFT): distance = 2 - 2 a.b for unit
+    vectors, Lowe ratio test — the role of cudasift's MatchSiftData /
+    FindMaxCorr kernels (src/cudasift/matching.cu), as one MXU matmul."""
+    dots = jax.lax.dot_general(
+        desc_a, desc_b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    D = 2.0 - 2.0 * dots
+    big = jnp.float32(1e9)
+    D = jnp.where(valid_a[:, None] & valid_b[None, :], D, big)
+    top2, top2_idx = jax.lax.top_k(-D, 2)
+    best = -top2[:, 0]
+    second = -top2[:, 1]
+    idx = top2_idx[:, 0]
+    ok = valid_a & (best < ratio * ratio * second) & (best < 4.0)
+    if mutual:
+        best_for_b = jnp.argmin(D, axis=0)
+        ok = ok & (best_for_b[idx] == jnp.arange(D.shape[0]))
+    return MatchResult(idx=idx.astype(jnp.int32), dist=best, valid=ok)
+
+
 def rotation_consistency(
     angle_a: jnp.ndarray,
     angle_b: jnp.ndarray,

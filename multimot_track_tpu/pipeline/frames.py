@@ -10,6 +10,7 @@ from (last FrameObservation, current images) to a ``PairInputs`` pytree.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -63,6 +64,7 @@ class PairInputs(NamedTuple):
     gt_cur: GTTable
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def build_frame_observation(
     gray: jnp.ndarray,
     depth_raw: jnp.ndarray,
@@ -96,6 +98,7 @@ def build_frame_observation(
     return FrameObservation(static=static, objects=objects, gt=gt)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def build_pair(
     last: FrameObservation,
     cur_depth_raw: jnp.ndarray,

@@ -175,7 +175,8 @@ class MultiMotSystem:
         )
         step_key = jax.random.fold_in(self.key, self._frame_idx)
         result = tracker.track_pair(step_key, pair, self._ctx, cfg)
-        result = jax.block_until_ready(result)
+        # one bulk device->host transfer instead of dozens of scalar pulls
+        result = jax.device_get(result)
 
         # --- tracking-state machine + constant-velocity fallback ---
         Tcw_last = np.asarray(self._ctx.Tcw_last)
@@ -183,7 +184,7 @@ class MultiMotSystem:
             self.state = self.STATE_LOST
             self._lost_streak += 1
             Tcw_fallback = self._velocity @ Tcw_last
-            result = result._replace(Tcw_cur=jnp.asarray(Tcw_fallback))
+            result = result._replace(Tcw_cur=Tcw_fallback)
             if self._lost_streak > self.max_lost_frames:
                 # reference: full reset when lost persists (Tracking.cc:1164)
                 self._sem_to_track.clear()
@@ -203,7 +204,7 @@ class MultiMotSystem:
     # ------------------------------------------------------------------
     def _record(self, r: tracker.PairResult, fd: FrameData):
         m = self.map
-        Twc = np.asarray(jnp.linalg.inv(r.Tcw_cur))
+        Twc = np.linalg.inv(np.asarray(r.Tcw_cur))
         m.camera_poses.append(Twc.astype(np.float32))
         m.timestamps.append(fd.timestamp)
         m.cam_rpe_abs.append(np.asarray([float(r.cam_t_rpe), float(r.cam_r_rpe)]))

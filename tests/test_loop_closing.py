@@ -1,0 +1,88 @@
+"""Pose graph, keyframe store, relocalization, loop correction."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimot_track_tpu.config import CameraConfig
+from multimot_track_tpu.geometry import camera, se3
+from multimot_track_tpu.pipeline import keyframes
+from multimot_track_tpu.solvers import pose_graph
+
+CAM = CameraConfig()
+RNG = np.random.default_rng(31)
+
+
+def test_pose_graph_spreads_loop_correction():
+    # square trajectory with drift; loop edge ties last pose to first
+    M = 12
+    true_rel = np.asarray(se3.exp_se3(jnp.asarray([0, 0.05, 0, 0, 0, 1.0], jnp.float32)))
+    poses = [np.eye(4, dtype=np.float32)]
+    for i in range(1, M):
+        drift = np.asarray(se3.exp_se3(jnp.asarray([0, 0.004, 0, 0.01, 0, 0.02], jnp.float32)))
+        poses.append((drift @ true_rel @ poses[-1]).astype(np.float32))
+    poses = np.stack(poses)
+    true_poses = [np.eye(4, dtype=np.float32)]
+    for i in range(1, M):
+        true_poses.append((true_rel @ true_poses[-1]).astype(np.float32))
+    true_poses = np.stack(true_poses)
+
+    ij_odo, Z_odo = pose_graph.odometry_edges(jnp.asarray(poses))
+    # loop edge with the TRUE relative transform between last and first
+    Z_loop = jnp.asarray(true_poses[-1] @ np.linalg.inv(true_poses[0]))[None]
+    ij = jnp.concatenate([ij_odo, jnp.asarray([[M - 1, 0]], jnp.int32)])
+    Z = jnp.concatenate([Z_odo, Z_loop])
+    w = jnp.concatenate([jnp.ones(M - 1), jnp.asarray([50.0])])
+    out = pose_graph.optimize_pose_graph(jnp.asarray(poses), ij, Z, w)
+    e_before = np.linalg.norm((poses[-1] @ np.linalg.inv(true_poses[-1]))[:3, 3])
+    e_after = np.linalg.norm(
+        (np.asarray(out.poses[-1]) @ np.linalg.inv(true_poses[-1]))[:3, 3]
+    )
+    assert e_after < 0.5 * e_before, (e_before, e_after)
+
+
+def make_kf(index, n=256, seed=0, Tcw=None):
+    rng = np.random.default_rng(seed)
+    Tcw = np.eye(4, dtype=np.float32) if Tcw is None else Tcw
+    uv = rng.uniform([100, 50], [CAM.width - 100, CAM.height - 50], (n, 2)).astype(np.float32)
+    z = rng.uniform(5, 30, (n,)).astype(np.float32)
+    Xc = np.asarray(camera.backproject(jnp.asarray(uv), jnp.asarray(z), CAM.fx, CAM.fy, CAM.cx, CAM.cy))
+    Twc = np.linalg.inv(Tcw)
+    Xw = (Twc[:3, :3] @ Xc.T).T + Twc[:3, 3]
+    desc = rng.choice([-1, 1], size=(n, 256)).astype(np.int8)
+    return keyframes.Keyframe(
+        index=index, Tcw=Tcw, uv=uv, desc=desc,
+        valid=np.ones(n, bool), Xw=Xw.astype(np.float32),
+    )
+
+
+def test_store_and_detect_loop():
+    store = keyframes.KeyframeStore(min_gap=1)
+    kfs = [make_kf(i, seed=i) for i in range(6)]
+    for kf in kfs:
+        assert store.maybe_add(kf)
+    # query with keyframe-0 descriptors: must hit candidate 0
+    cand = store.detect_loop(jnp.asarray(kfs[0].desc), jnp.asarray(kfs[0].valid))
+    assert cand == 0
+    # random query: no loop
+    rnd = np.random.default_rng(99).choice([-1, 1], size=(256, 256)).astype(np.int8)
+    assert store.detect_loop(jnp.asarray(rnd), jnp.ones(256, bool)) is None
+
+
+def test_relocalization():
+    store = keyframes.KeyframeStore(min_gap=1)
+    kf = make_kf(0, seed=7)
+    store.maybe_add(kf)
+    store.maybe_add(make_kf(1, seed=8))
+    # camera moved: observe kf-0's points from a new pose
+    xi = jnp.asarray([0.02, -0.03, 0.01, 0.2, 0.1, 0.5], jnp.float32)
+    T_new = np.asarray(se3.exp_se3(xi))
+    Xc = (T_new[:3, :3] @ kf.Xw.T).T + T_new[:3, 3]
+    uv_new = np.asarray(camera.project(jnp.asarray(Xc), CAM.fx, CAM.fy, CAM.cx, CAM.cy))
+    T = store.relocalize(
+        jax.random.PRNGKey(0), jnp.asarray(kf.desc), jnp.asarray(uv_new.astype(np.float32)),
+        jnp.asarray(kf.valid), CAM.fx, CAM.fy, CAM.cx, CAM.cy,
+    )
+    assert T is not None
+    E = T @ np.linalg.inv(T_new)
+    assert np.linalg.norm(E[:3, 3]) < 0.02
