@@ -141,20 +141,22 @@ class MultiMotSystem:
         self.state = d["state"]
         self._velocity = d["velocity"]
 
+    @staticmethod
+    def _compact_images(fd: FrameData):
+        """Host-side dtype compaction for the tunnel-bound upload."""
+        gray = np.clip(np.round(fd.gray), 0, 255).astype(np.uint8)
+        depth = np.clip(fd.depth_raw, 0, 65535).astype(np.uint16)
+        flow = np.clip(fd.flow * 128.0, -32767, 32767).astype(np.int16)
+        sem = np.clip(fd.sem_mask, 0, 255).astype(np.uint8)
+        return gray, depth, flow, sem
+
     def track_rgbd(self, fd: FrameData) -> Optional[tracker.PairResult]:
         """Feed one frame; returns the PairResult once a pair exists."""
         t0 = time.perf_counter()
         cfg = self.cfg
         K = cfg.padding.k_obj_max
         gt = F.make_gt_table(fd.pose_gt, fd.obj_ids_gt, fd.obj_poses_gt, K)
-        obs = F.build_frame_observation(
-            jnp.asarray(fd.gray),
-            jnp.asarray(fd.depth_raw),
-            jnp.asarray(fd.flow),
-            jnp.asarray(fd.sem_mask),
-            gt,
-            cfg,
-        )
+        gray, depth, flow, sem = self._compact_images(fd)
         if self._last_obs is None:
             # StereoInitialization (src/Tracking.cc:2502): first pose = I
             eye = jnp.eye(4)
@@ -165,16 +167,15 @@ class MultiMotSystem:
             )
             self.map.camera_poses.append(np.eye(4, dtype=np.float32))
             self.map.timestamps.append(fd.timestamp)
-            self._last_obs = obs
+            self._last_obs = tracker.first_step(gray, depth, flow, sem, gt, cfg)
             self._frame_idx += 1
             self.map.frame_times.append(time.perf_counter() - t0)
             return None
 
-        pair = F.build_pair(
-            self._last_obs, jnp.asarray(fd.depth_raw), jnp.asarray(fd.sem_mask), gt, cfg
-        )
         step_key = jax.random.fold_in(self.key, self._frame_idx)
-        result = tracker.track_pair(step_key, pair, self._ctx, cfg)
+        result, new_ctx, obs = tracker.full_step(
+            step_key, self._last_obs, gray, depth, flow, sem, gt, self._ctx, cfg
+        )
         # one bulk device->host transfer instead of dozens of scalar pulls
         result = jax.device_get(result)
 
@@ -195,7 +196,12 @@ class MultiMotSystem:
             self._velocity = np.asarray(result.Tcw_cur) @ np.linalg.inv(Tcw_last)
 
         self._record(result, fd)
-        self._ctx = tracker.next_context(result, K)
+        if self.state == self.STATE_LOST:
+            # next_context on device used the diverged pose; rebuild from
+            # the fallback so the next pair anchors on it
+            self._ctx = tracker.next_context(result, K)
+        else:
+            self._ctx = new_ctx
         self._last_obs = obs
         self._frame_idx += 1
         self.map.frame_times.append(time.perf_counter() - t0)

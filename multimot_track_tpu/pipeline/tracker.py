@@ -273,6 +273,55 @@ def track_pair(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def first_step(gray_u8, depth_raw_u16, flow_i16, sem_u8, gt, cfg: PipelineConfig):
+    """Frame-0 frontend only (StereoInitialization role)."""
+    from multimot_track_tpu.pipeline import frames as F
+
+    gray = gray_u8.astype(jnp.float32)
+    depth_raw = depth_raw_u16.astype(jnp.float32)
+    flow = flow_i16.astype(jnp.float32) * (1.0 / 128.0)
+    sem = sem_u8.astype(jnp.int32)
+    return F.build_frame_observation(gray, depth_raw, flow, sem, gt, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def full_step(
+    key: jax.Array,
+    prev_obs,                    # FrameObservation of the last frame
+    gray_u8: jnp.ndarray,        # (H, W) uint8 current gray
+    depth_raw_u16: jnp.ndarray,  # (H, W) uint16 raw depth png values
+    flow_i16: jnp.ndarray,       # (H, W, 2) int16 flow * 128
+    sem_u8: jnp.ndarray,         # (H, W) uint8 instance labels
+    gt_cur,                      # GTTable
+    ctx: TrackContext,
+    cfg: PipelineConfig,
+):
+    """One fused device program per frame: frontend + pair build + track.
+
+    Inputs arrive in compact dtypes (uint8/uint16/int16) and are expanded
+    on device — the host<->device link (a tunnel on this setup) moves ~3x
+    fewer bytes than raw float32 images, and the whole frame costs exactly
+    one dispatch instead of three plus eager ops.
+    Returns (PairResult, next TrackContext, current FrameObservation).
+    """
+    from multimot_track_tpu.pipeline import frames as F
+
+    gray = gray_u8.astype(jnp.float32)
+    depth_raw = depth_raw_u16.astype(jnp.float32)
+    flow = flow_i16.astype(jnp.float32) * (1.0 / 128.0)
+    sem = sem_u8.astype(jnp.int32)
+    obs = F.build_frame_observation(gray, depth_raw, flow, sem, gt_cur, cfg)
+    pair = F.build_pair(prev_obs, depth_raw, sem, gt_cur, cfg)
+    result = track_pair(key, pair, ctx, cfg)
+    new_ctx = next_context(result, cfg.padding.k_obj_max)
+    # the per-point label map (tens of KB) stays on device: the host loop
+    # only consumes the small fields, and device->host bandwidth through
+    # the tunnel is the bottleneck (~0.05 MB/s measured)
+    light = result._replace(obj_label_map=jnp.zeros((0,), jnp.int32))
+    return light, new_ctx, obs
+
+
 def next_context(result: PairResult, k_obj_max: int) -> TrackContext:
     """Fold a pair's outputs into the context for the next pair: current
     per-label motions become next frame's motion models (keyed by current
