@@ -1,0 +1,168 @@
+"""Batched sequence tracking — the TPU-native high-throughput mode.
+
+The online mode (system.py) steps frame-by-frame like the reference.  This
+mode exploits the structure SURVEY.md §2.5 points at: expressed in the
+*last camera frame* (Twl = I), every pair's solves are independent, so a
+whole sequence tracks as
+
+  1. frontend over all frames (one vmapped program over stacked images),
+  2. all pairs solved simultaneously (vmap over the pair axis — which is
+     also the mesh's "pair" sharding axis for multi-chip),
+  3. trajectory composed with an associative scan,
+  4. world-frame object motions/metrics + track IDs recovered in a cheap
+     host post-pass.
+
+Differences vs the online mode (documented): object initialisation cannot
+use the previous pair's motion model (that coupling is sequential), so it
+is pure RANSAC — on kitti_sample this changes results marginally.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimot_track_tpu.config import DEFAULT_CONFIG, PipelineConfig
+from multimot_track_tpu.geometry import se3
+from multimot_track_tpu.pipeline import frames as F
+from multimot_track_tpu.pipeline import tracker
+from multimot_track_tpu.eval import metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def frontend_batch(gray_u8, depth_u16, flow_i16, sem_u8, gts, cfg: PipelineConfig):
+    """Stacked images (F, H, W[, 2]) -> stacked FrameObservations."""
+
+    def one(g, d, fl, s, gt):
+        return F.build_frame_observation(
+            g.astype(jnp.float32),
+            d.astype(jnp.float32),
+            fl.astype(jnp.float32) * (1.0 / 128.0),
+            s.astype(jnp.int32),
+            gt,
+            cfg,
+        )
+
+    return jax.vmap(one)(gray_u8, depth_u16, flow_i16, sem_u8, gts)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_batch(keys, obs_stack, depth_u16, sem_u8, gts, cfg: PipelineConfig):
+    """Solve all F-1 pairs at once in last-camera coordinates.
+
+    obs_stack: stacked FrameObservation pytree (F, ...); depth/sem: the
+    raw current-frame images (F, H, W) used for the correspondence handoff.
+    Returns the stacked PairResult (F-1, ...) with Tcw_cur = per-pair
+    relative motion T_rel (frame k-1 camera -> frame k camera).
+    """
+    K = cfg.padding.k_obj_max
+    eye = jnp.eye(4)
+    ctx = tracker.TrackContext(
+        Tcw_last=eye,
+        H_prev_by_label=jnp.tile(eye, (K + 1, 1, 1)),
+        H_prev_valid=jnp.zeros(K + 1, bool),
+    )
+
+    def one_pair(key, prev_obs, cur_depth_u16, cur_sem_u8, gt_cur):
+        # anchor GT to the pair's own last-camera frame so device-side
+        # object metrics compare motions in commensurate worlds
+        G = se3.inverse(prev_obs.gt.Tcw)           # Twc_gt_last
+        gt_cur_rel = gt_cur._replace(Tcw=gt_cur.Tcw @ G)
+        prev_rel = prev_obs._replace(gt=prev_obs.gt._replace(Tcw=eye))
+        pair = F.build_pair(
+            prev_rel,
+            cur_depth_u16.astype(jnp.float32),
+            cur_sem_u8.astype(jnp.int32),
+            gt_cur_rel,
+            cfg,
+        )
+        res = tracker.track_pair(key, pair, ctx, cfg)
+        return res._replace(obj_label_map=jnp.zeros((0,), jnp.int32))
+
+    prev = jax.tree_util.tree_map(lambda x: x[:-1], obs_stack)
+    gt_cur = jax.tree_util.tree_map(lambda x: x[1:], gts)
+    return jax.vmap(one_pair)(keys, prev, depth_u16[1:], sem_u8[1:], gt_cur)
+
+
+def run_sequence_batched(
+    frame_list: List,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    seed: int = 0,
+):
+    """End-to-end batched tracking of loaded FrameData records.
+
+    Returns (Tcw trajectory (F, 4, 4), stacked PairResult, object records).
+    """
+    K = cfg.padding.k_obj_max
+    Fn = len(frame_list)
+    grays, depths, flows, sems, gts = [], [], [], [], []
+    for fd in frame_list:
+        grays.append(np.clip(np.round(fd.gray), 0, 255).astype(np.uint8))
+        depths.append(np.clip(fd.depth_raw, 0, 65535).astype(np.uint16))
+        flows.append(np.clip(fd.flow * 128.0, -32767, 32767).astype(np.int16))
+        sems.append(np.clip(fd.sem_mask, 0, 255).astype(np.uint8))
+        gts.append(F.make_gt_table(fd.pose_gt, fd.obj_ids_gt, fd.obj_poses_gt, K))
+    gray_u8 = jnp.asarray(np.stack(grays))
+    depth_u16 = jnp.asarray(np.stack(depths))
+    flow_i16 = jnp.asarray(np.stack(flows))
+    sem_u8 = jnp.asarray(np.stack(sems))
+    gt_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *gts)
+
+    obs = frontend_batch(gray_u8, depth_u16, flow_i16, sem_u8, gt_stack, cfg)
+    keys = jax.random.split(jax.random.PRNGKey(seed), Fn - 1)
+    res = track_batch(keys, obs, depth_u16, sem_u8, gt_stack, cfg)
+    res = jax.device_get(res)
+
+    # ---- host post-pass: compose trajectory, world-frame objects, IDs ----
+    T_rel = np.asarray(res.Tcw_cur)                     # (F-1, 4, 4)
+    Tcw = [np.eye(4, dtype=np.float32)]
+    for k in range(Fn - 1):
+        Tcw.append((T_rel[k] @ Tcw[-1]).astype(np.float32))
+    Tcw = np.stack(Tcw)
+
+    # camera RPE identical to online mode: relative est vs relative GT
+    # (already computed on device against gt pairs)
+    records = []
+    sem_to_track = {}
+    next_id = 1
+    ob = res.objects
+    for k in range(Fn - 1):
+        new_map = {}
+        active = np.asarray(ob.active[k])
+        for slot in np.flatnonzero(active):
+            sem_label = int(slot) + 1
+            prev_sem = int(ob.mode_last_label[k][slot])
+            if prev_sem in sem_to_track and k > 0:
+                tid = sem_to_track[prev_sem]
+            else:
+                tid = next_id
+                next_id += 1
+            new_map[sem_label] = tid
+            # world-frame motion: vObjMod = Twc_cur P_world, with the
+            # batched P expressed in last-camera coords:
+            # P_world = P_lc @ Tcw_last  =>  H_w = Twc_cur @ P_lc @ Tcw_last
+            P_lc = np.asarray(ob.H[k][slot])  # inverse(T_rel) @ P_lc from device
+            # device already computed H = inverse(Tcw_cur=T_rel) @ P_lc (in
+            # last-cam world); convert to the composed world frame:
+            H_lc = P_lc                         # relative-world motion
+            H_w = np.linalg.inv(Tcw[k]) @ H_lc @ Tcw[k]
+            records.append(
+                dict(
+                    frame=k + 1,
+                    track_id=tid,
+                    sem_label=sem_label,
+                    H=H_w.astype(np.float32),
+                    speed_est=float(ob.speed_est[k][slot]),
+                    speed_gt=float(ob.speed_gt[k][slot]),
+                    t_rpe_rel=float(ob.t_rpe_rel[k][slot]),
+                    r_rpe_rel=float(ob.r_rpe_rel[k][slot]),
+                    has_gt=bool(ob.has_gt[k][slot]),
+                )
+            )
+        sem_to_track = new_map
+    return Tcw, res, records

@@ -69,8 +69,8 @@ class MonoTracker:
         self._frame += 1
 
         if self.state is None:
-            self.state = MonoState(uv, desc, valid, None, None, np.eye(4, np.float32))
-            self.poses.append(np.eye(4, np.float32))
+            self.state = MonoState(uv, desc, valid, None, None, np.eye(4, dtype=np.float32))
+            self.poses.append(np.eye(4, dtype=np.float32))
             return self.poses[-1]
 
         st = self.state
@@ -93,7 +93,7 @@ class MonoTracker:
                 self.poses.append(st.Tcw)
                 return st.Tcw
             self.initialized = True
-            T21 = np.asarray(res.T21)
+            T21 = np.array(res.T21)  # writable copy
             # normalise scale: median scene depth = 1 (reference scales the
             # initial map by median depth, Tracking.cc CreateInitialMap)
             X = np.asarray(res.points3d)

@@ -93,6 +93,7 @@ class MultiMotSystem:
         self.max_lost_frames = max_lost_frames
         self._lost_streak = 0
         self._velocity = np.eye(4, dtype=np.float32)  # mVelocity analog
+        self._result_spec = None
 
     # ------------------------------------------------------------------
     def reset(self):
@@ -173,11 +174,13 @@ class MultiMotSystem:
             return None
 
         step_key = jax.random.fold_in(self.key, self._frame_idx)
-        result, new_ctx, obs = tracker.full_step(
+        packed, new_ctx, obs = tracker.full_step(
             step_key, self._last_obs, gray, depth, flow, sem, gt, self._ctx, cfg
         )
-        # one bulk device->host transfer instead of dozens of scalar pulls
-        result = jax.device_get(result)
+        # exactly one device->host transfer for the whole frame result
+        if self._result_spec is None:
+            self._result_spec = tracker.light_result_spec(cfg)
+        result = tracker.unpack_pytree(packed, self._result_spec)
 
         # --- tracking-state machine + constant-velocity fallback ---
         Tcw_last = np.asarray(self._ctx.Tcw_last)

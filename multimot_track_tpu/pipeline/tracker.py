@@ -273,6 +273,33 @@ def track_pair(
     )
 
 
+def pack_pytree(tree) -> jnp.ndarray:
+    """Flatten a pytree of small arrays into ONE float32 vector.
+
+    Device->host transfers through the tunnel pay a large per-array cost;
+    shipping the whole PairResult as a single leaf turns ~25 round trips
+    into one.  int/bool leaves are exactly representable in f32 at the
+    magnitudes used here (< 2^24)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.concatenate([l.astype(jnp.float32).reshape(-1) for l in leaves])
+
+
+def unpack_pytree(flat, like):
+    """Inverse of pack_pytree given a ShapeDtypeStruct pytree ``like``."""
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    out = []
+    off = 0
+    flat = np.asarray(flat)
+    for l in leaves:
+        n = int(np.prod(l.shape)) if l.shape else 1
+        chunk = flat[off : off + n].reshape(l.shape)
+        out.append(chunk.astype(l.dtype))
+        off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def first_step(gray_u8, depth_raw_u16, flow_i16, sem_u8, gt, cfg: PipelineConfig):
     """Frame-0 frontend only (StereoInitialization role)."""
@@ -317,9 +344,51 @@ def full_step(
     new_ctx = next_context(result, cfg.padding.k_obj_max)
     # the per-point label map (tens of KB) stays on device: the host loop
     # only consumes the small fields, and device->host bandwidth through
-    # the tunnel is the bottleneck (~0.05 MB/s measured)
+    # the tunnel is the bottleneck (~0.05 MB/s measured); the rest ships
+    # as ONE packed vector (one transfer instead of ~25)
     light = result._replace(obj_label_map=jnp.zeros((0,), jnp.int32))
-    return light, new_ctx, obs
+    return pack_pytree(light), new_ctx, obs
+
+
+def light_result_spec(cfg: PipelineConfig):
+    """ShapeDtypeStruct pytree describing full_step's packed result."""
+    K = cfg.padding.k_obj_max
+    f32 = jnp.float32
+
+    def s(shape, dtype=f32):
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+    objects = ObjectOutputs(
+        seen=s((K,), jnp.bool_),
+        is_static=s((K,), jnp.bool_),
+        active=s((K,), jnp.bool_),
+        n_points=s((K,), jnp.int32),
+        mode_last_label=s((K,), jnp.int32),
+        H=s((K, 4, 4)),
+        n_inliers=s((K,), jnp.int32),
+        centre3d=s((K, 3)),
+        bbox=s((K, 4)),
+        speed_est=s((K,)),
+        speed_gt=s((K,)),
+        t_rpe=s((K,)),
+        r_rpe=s((K,)),
+        t_rpe_rel=s((K,)),
+        r_rpe_rel=s((K,)),
+        speed_err_rel=s((K,)),
+        has_gt=s((K,), jnp.bool_),
+    )
+    return PairResult(
+        Tcw_cur=s((4, 4)),
+        cam_t_rpe=s(()),
+        cam_r_rpe=s(()),
+        cam_t_rpe_rel=s(()),
+        cam_r_rpe_rel=s(()),
+        n_static=s((), jnp.int32),
+        n_static_inliers=s((), jnp.int32),
+        flow_hist=s((20,), jnp.int32),
+        objects=objects,
+        obj_label_map=s((0,), jnp.int32),
+    )
 
 
 def next_context(result: PairResult, k_obj_max: int) -> TrackContext:
