@@ -78,6 +78,37 @@ def object_motion_error(
     )
 
 
+class SegConfusion(NamedTuple):
+    tot: jnp.ndarray   # GT-dynamic points in total
+    fp: jnp.ndarray    # predicted dynamic but GT static
+    fn: jnp.ndarray    # predicted static/outlier but GT dynamic
+    nd: jnp.ndarray    # GT-dynamic not detected at all (label -1/-2)
+
+
+def segmentation_confusion(
+    pred_label: jnp.ndarray,    # (N,) -2 unproc / -1 outlier / 0 static / k>=1
+    sem_label: jnp.ndarray,     # (N,) instance labels at current positions
+    gt_dynamic_ids: jnp.ndarray,  # (K,) instance ids that truly move
+    gt_dynamic_valid: jnp.ndarray,  # (K,)
+    valid: jnp.ndarray,
+) -> SegConfusion:
+    """Motion-segmentation misclassification accounting — the reference's
+    ``coer`` out-params tot/fp/fn/nd (src/System.cc:169-171,
+    src/Tracking.cc:656-659; computation commented at :2269-2453)."""
+    is_gt_dyn = jnp.any(
+        (sem_label[:, None] == gt_dynamic_ids[None, :]) & gt_dynamic_valid[None, :],
+        axis=1,
+    ) & valid
+    pred_dyn = (pred_label >= 1) & valid
+    pred_static = (pred_label == 0) & valid
+    undetected = (pred_label < 0) & valid
+    tot = jnp.sum(is_gt_dyn.astype(jnp.int32))
+    fp = jnp.sum((pred_dyn & ~is_gt_dyn).astype(jnp.int32))
+    fn = jnp.sum((pred_static & is_gt_dyn).astype(jnp.int32))
+    nd = jnp.sum((undetected & is_gt_dyn).astype(jnp.int32))
+    return SegConfusion(tot=tot, fp=fp, fn=fn, nd=nd)
+
+
 def flow_error_histogram(err: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """20-bin histogram of static-point flow error magnitudes, bin edges as in
     src/Tracking.cc:1231-1274 (0.5 px bins to 9, then [9,10), [10,inf))."""

@@ -142,6 +142,44 @@ def match_float(
     return MatchResult(idx=idx.astype(jnp.int32), dist=best, valid=ok)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def search_by_quad(
+    desc_L0: jnp.ndarray, desc_R0: jnp.ndarray,
+    desc_L1: jnp.ndarray, desc_R1: jnp.ndarray,
+    uv_pred: jnp.ndarray, uv_L1: jnp.ndarray,
+    valid0: jnp.ndarray, valid1: jnp.ndarray,
+    radius: float = 15.0,
+    threshold: float = TH_HIGH,
+) -> MatchResult:
+    """Quad-consistent stereo-temporal matching (ORBmatcher::SearchByQuad,
+    src/ORBmatcher.cc:1704-1842): a temporal match survives only if the
+    SAME pairing is descriptor-consistent in all four views.  desc_R* are
+    the right-view descriptors sampled at each left keypoint's disparity
+    position (the role of the reference's vDescIndex L/R association).
+
+    The quad criterion becomes one fused mask over the (N, M) matrix:
+    D_quad = D_L + D_R, gated spatially, both legs under the threshold.
+    """
+    DL = hamming_matrix(desc_L0, desc_L1)
+    DR = hamming_matrix(desc_R0, desc_R1)
+    d2 = jnp.sum((uv_pred[:, None, :] - uv_L1[None, :, :]) ** 2, axis=-1)
+    big = jnp.float32(1e9)
+    ok = (
+        valid0[:, None]
+        & valid1[None, :]
+        & (d2 <= radius * radius)
+        & (DL <= threshold)
+        & (DR <= threshold)
+    )
+    D = jnp.where(ok, DL + DR, big)
+    top2, top2_idx = jax.lax.top_k(-D, 2)
+    best = -top2[:, 0]
+    second = -top2[:, 1]
+    idx = top2_idx[:, 0]
+    okm = valid0 & (best < big * 0.5) & (best < 0.9 * second)
+    return MatchResult(idx=idx.astype(jnp.int32), dist=best, valid=okm)
+
+
 def rotation_consistency(
     angle_a: jnp.ndarray,
     angle_b: jnp.ndarray,

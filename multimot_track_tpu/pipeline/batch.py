@@ -89,6 +89,20 @@ def track_batch(keys, obs_stack, depth_u16, sem_u8, gts, cfg: PipelineConfig):
     return jax.vmap(one_pair)(keys, prev, depth_u16[1:], sem_u8[1:], gt_cur)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_batch_packed(keys, obs_stack, depth_u16, sem_u8, gts, cfg: PipelineConfig):
+    """track_batch with the result packed to ONE f32 vector (one download)."""
+    res = track_batch(keys, obs_stack, depth_u16, sem_u8, gts, cfg)
+    return tracker.pack_pytree(res)
+
+
+def batch_result_spec(n_pairs: int, cfg: PipelineConfig):
+    base = tracker.light_result_spec(cfg)
+    return jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct((n_pairs,) + s.shape, s.dtype), base
+    )
+
+
 def run_sequence_batched(
     frame_list: List,
     cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -115,8 +129,8 @@ def run_sequence_batched(
 
     obs = frontend_batch(gray_u8, depth_u16, flow_i16, sem_u8, gt_stack, cfg)
     keys = jax.random.split(jax.random.PRNGKey(seed), Fn - 1)
-    res = track_batch(keys, obs, depth_u16, sem_u8, gt_stack, cfg)
-    res = jax.device_get(res)
+    packed = track_batch_packed(keys, obs, depth_u16, sem_u8, gt_stack, cfg)
+    res = tracker.unpack_pytree(packed, batch_result_spec(Fn - 1, cfg))
 
     # ---- host post-pass: compose trajectory, world-frame objects, IDs ----
     T_rel = np.asarray(res.Tcw_cur)                     # (F-1, 4, 4)

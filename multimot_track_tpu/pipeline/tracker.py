@@ -70,6 +70,7 @@ class PairResult(NamedTuple):
     n_static: jnp.ndarray
     n_static_inliers: jnp.ndarray
     flow_hist: jnp.ndarray          # (20,) static flow-error histogram
+    seg_confusion: metrics.SegConfusion  # tot/fp/fn/nd (coer out-params)
     objects: ObjectOutputs
     obj_label_map: jnp.ndarray      # (No,) per-point labels: -2 unprocessed,
     #                                  -1 outlier, 0 static, l>=1 object slot+1
@@ -240,6 +241,19 @@ def track_pair(
     )
     lab_map = jnp.where(pt_ok, slot_of_label[pair.ob_cur_label], lab_map)
 
+    # GT-dynamic ids: objects posed in BOTH frames whose GT motion moves
+    def gt_dyn_entry(lab, Lc, vc):
+        ok_p, L_w_p = gt_lookup(pair.gt_last, Twc_gt_last, lab)
+        H_gt = (Twc_gt_cur @ Lc) @ se3.inverse(L_w_p)
+        return vc & ok_p & (jnp.linalg.norm(H_gt[:3, 3]) > 0.05)
+
+    gt_dyn = jax.vmap(gt_dyn_entry)(
+        pair.gt_cur.obj_ids, pair.gt_cur.obj_L, pair.gt_cur.obj_valid
+    )
+    seg_conf = metrics.segmentation_confusion(
+        lab_map, pair.ob_cur_label, pair.gt_cur.obj_ids, gt_dyn, pair.ob_valid
+    )
+
     objects = ObjectOutputs(
         seen=seen,
         is_static=is_static,
@@ -268,6 +282,7 @@ def track_pair(
         n_static=n_st,
         n_static_inliers=cam_res.n_inliers,
         flow_hist=flow_hist,
+        seg_confusion=seg_conf,
         objects=objects,
         obj_label_map=lab_map,
     )
@@ -386,6 +401,10 @@ def light_result_spec(cfg: PipelineConfig):
         n_static=s((), jnp.int32),
         n_static_inliers=s((), jnp.int32),
         flow_hist=s((20,), jnp.int32),
+        seg_confusion=metrics.SegConfusion(
+            tot=s((), jnp.int32), fp=s((), jnp.int32),
+            fn=s((), jnp.int32), nd=s((), jnp.int32),
+        ),
         objects=objects,
         obj_label_map=s((0,), jnp.int32),
     )

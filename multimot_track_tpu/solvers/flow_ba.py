@@ -175,10 +175,10 @@ def solve_flow_ba(
 
     lam0 = p.tau * jnp.maximum(diag_seed(), 1.0)
 
-    State = tuple  # (it, T, f, F, lam, nu)
+    State = tuple  # (it, T, f, F, lam, nu, done)
 
     def body(state):
-        it, T, f, F, lam, nu = state
+        it, T, f, F, lam, nu, done = state
         dxi, df, pred = _build_and_solve(
             T, f, Xw, obs, flow_meas, valid, lam, p, fx, fy, cx, cy
         )
@@ -189,19 +189,23 @@ def solve_flow_ba(
         accept = (F_new < F) & jnp.isfinite(F_new)
         # Nielsen's update (as in g2o's Levenberg strategy)
         lam_acc = lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * gain - 1.0) ** 3)
+        # converged: an accepted step changed the objective negligibly, or
+        # damping exploded (g2o terminates on the same signals); the loop
+        # is latency-bound on TPU so stopping early is a pure win — the
+        # fixpoint is identical
+        done = done | (accept & (F - F_new < 1e-7 * F + 1e-10)) | (lam > 1e8)
         T = jnp.where(accept, T_new, T)
         f = jnp.where(accept, f_new, f)
         F = jnp.where(accept, F_new, F)
         lam = jnp.where(accept, lam_acc, lam * nu)
         nu = jnp.where(accept, 2.0, nu * 2.0)
-        return (it + 1, T, f, F, lam, nu)
+        return (it + 1, T, f, F, lam, nu, done)
 
     def cond(state):
-        it = state[0]
-        return it < p.iters
+        return (state[0] < p.iters) & ~state[-1]
 
-    _, T, f, F, lam, nu = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), T_init, f0, F0, lam0, jnp.float32(2.0))
+    _, T, f, F, lam, nu, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), T_init, f0, F0, lam0, jnp.float32(2.0), jnp.bool_(False))
     )
 
     _, chi2 = _residual_chi2(T, f, Xw, obs, flow_meas, valid, p, fx, fy, cx, cy)
