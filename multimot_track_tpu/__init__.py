@@ -25,4 +25,17 @@ import jax as _jax
 # opt back into lower precision explicitly via ``precision=`` arguments.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent compilation cache: this environment compiles XLA programs
+# remotely (~minutes each); caching executables on disk makes every
+# subsequent process start warm.
+import os as _os
+
+_cache_dir = _os.environ.get("MMT_JAX_CACHE", "/tmp/mmt_jax_cache")
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimisation, never a requirement
+    pass
+
 __version__ = "0.1.0"
