@@ -8,12 +8,15 @@ sequential online mode exists for latency-critical per-frame use.
 
 Prints ONE JSON line:
   {"metric": "kitti_sample_frames_per_s", "value": N, "unit": "frames/s",
-   "vs_baseline": N / 10.0}
+   "vs_baseline": N / REF_FPS}
 
-Baseline: the reference targets real-time KITTI at 10 Hz
-(kitti_sample/kitti03.yaml Camera.fps, BASELINE.md) and publishes no other
-number, so vs_baseline is the speed-up over that 10 frames/s budget.
+Baseline: the reference publishes no numbers, so we built and ran it on
+this machine (tools/build_reference.sh, PARITY.md): steady-state tracking
+takes 0.179-0.401 s/frame => 4.2 frames/s.  vs_baseline is the speed-up
+over that measured reference throughput.
 """
+
+REF_FPS = 4.2  # measured: mean of reference ttrack_seconds frames 1-4
 
 import json
 import time
@@ -48,7 +51,7 @@ def main():
         "metric": "kitti_sample_frames_per_s",
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 10.0, 3),
+        "vs_baseline": round(fps / REF_FPS, 3),
     }
     print(json.dumps(out))
 
