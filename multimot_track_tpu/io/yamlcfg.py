@@ -13,12 +13,7 @@ import pathlib
 
 import yaml
 
-from multimot_track_tpu.config import (
-    CameraConfig,
-    FrontendConfig,
-    PipelineConfig,
-    DEFAULT_CONFIG,
-)
+from multimot_track_tpu.config import CameraConfig, PipelineConfig, DEFAULT_CONFIG
 
 
 def load_opencv_yaml(path) -> dict:

@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from multimot_track_tpu.geometry import camera, se3
+from multimot_track_tpu.geometry import camera
 from multimot_track_tpu.solvers import horn
 
 LAMBDA = 80.0        # data-term scale (Tracking.cc DataEnergy)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from multimot_track_tpu.config import PipelineConfig
 from multimot_track_tpu.solvers import ransac
 from multimot_track_tpu.solvers.flow_ba import FlowBAParams, solve_flow_ba
-from multimot_track_tpu.geometry import camera, se3
+from multimot_track_tpu.geometry import camera
 from multimot_track_tpu.parallel.mesh import Mesh, NamedSharding, P, PAIR_AXIS
 
 

@@ -19,7 +19,6 @@ is pure RANSAC — on kitti_sample this changes results marginally.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import List
 

@@ -21,7 +21,7 @@ import numpy as np
 
 from multimot_track_tpu.config import DEFAULT_CONFIG, PipelineConfig
 from multimot_track_tpu.frontend import fast, orb
-from multimot_track_tpu.geometry import camera, se3
+from multimot_track_tpu.geometry import camera
 from multimot_track_tpu.ops import matching
 from multimot_track_tpu.solvers import pnp
 from multimot_track_tpu.solvers.initializer import initialize_mono, triangulate

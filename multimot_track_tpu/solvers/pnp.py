@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from multimot_track_tpu.geometry import camera, se3
+from multimot_track_tpu.geometry import se3
 from multimot_track_tpu.solvers.ransac import _count_inliers, _gn_refine
 
 
