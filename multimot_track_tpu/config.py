@@ -78,7 +78,11 @@ class SolverConfig:
     obj_lm_iters: int = 200         # (Optimizer.cc:2296)
     lm_tau: float = 1e-5            # initial lambda = tau * max(diag H)
     # --- RANSAC initialisation (reference: Tracking.cc:4324-4443) ---
-    ransac_iters: int = 500         # hypothesis count (Tracking.cc:4362)
+    ransac_iters: int = 500         # ego hypothesis count (Tracking.cc:4362)
+    # objects benefit from many more hypotheses than the reference's 500 —
+    # batched generation/scoring is nearly free on TPU and measurably
+    # improves the inlier subset (PARITY.md: object RPE 13% -> ~6%)
+    obj_ransac_iters: int = 2000
     ransac_reproj_px: float = 0.3   # inlier reprojection gate (Tracking.cc:4363)
     refine_gn_iters: int = 10       # polish best hypothesis on inliers
     # --- synthetic depth-noise injection (Frame.cc:1089, testing mechanism) ---

@@ -175,7 +175,7 @@ def track_pair(
         rrk = ransac.ransac_rigid_pose(
             k_rng, Xp_w, pair.ob_cur_uv, xyz_cur_ob, memb,
             fx, fy, cx, cy,
-            thresh=sol.ransac_reproj_px, iters=sol.ransac_iters,
+            thresh=sol.ransac_reproj_px, iters=sol.obj_ransac_iters,
             refine_iters=sol.refine_gn_iters,
         )
         # motion-model alternative (GetInitModelObj, Tracking.cc:4377-4436)
