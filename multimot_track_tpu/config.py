@@ -55,7 +55,10 @@ class PaddingConfig:
 
     n_static_max: int = 2048        # static (background) tracked points
     n_obj_pts_max: int = 8192       # dense object points per frame
-    k_obj_max: int = 8              # simultaneously-tracked objects
+    # the KITTI-format masks clamp labels to 1..3 (rgbd_tum.cc:335), so 4
+    # slots cover every sequence the reference can read; raise for datasets
+    # with more simultaneous instances
+    k_obj_max: int = 4
     n_per_obj_max: int = 2048       # points gathered per object for its solve
 
 
