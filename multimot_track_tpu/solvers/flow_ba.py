@@ -225,3 +225,148 @@ solve_flow_ba_batched = jax.vmap(
     in_axes=(0, None, 0, 0, 0, 0, None, None, None, None, None),
     out_axes=0,
 )
+
+
+class FlowDepthBAParams(NamedTuple):
+    reproj_info: float = 0.1
+    flow_prior_info: float = 0.3
+    depth_prior_info: float = 1.0   # EdgeDepthPrior information
+    rp_thres: float = 0.04
+    iters: int = 100
+    tau: float = 1e-5
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def solve_flow_depth_ba(
+    T_init: jnp.ndarray,
+    Twl: jnp.ndarray,
+    obs: jnp.ndarray,
+    flow_meas: jnp.ndarray,
+    depth_meas: jnp.ndarray,
+    valid: jnp.ndarray,
+    fx: float, fy: float, cx: float, cy: float,
+    params: FlowDepthBAParams = FlowDepthBAParams(),
+) -> FlowBAResult:
+    """Flow-BA with *per-point depth as a variable* (3-DoF point vertices).
+
+    The reference's experimental ``PoseOptimizationFlowDepth2`` family
+    (src/Optimizer.cc:1568; EdgeSE3ProjectFlowDepth2
+    types_six_dof_expmap.h:473 + EdgeFlowDepthPrior :339): the point
+    vertex is (flow_u, flow_v, depth) with Gaussian priors on all three.
+    The per-point Schur block becomes a 3x3 matrix; its closed-form
+    inverse keeps elimination a batched elementwise computation.
+
+    Useful when depth is much noisier than flow (the reference's synthetic
+    depth-noise studies) — the solver can trade depth against reprojection.
+    """
+    p = params
+    valid = valid & (depth_meas > 0)
+    R_wl = Twl[:3, :3]
+    t_wl = Twl[:3, 3]
+
+    def point_world(f, d):
+        X = camera.backproject(obs, d, fx, fy, cx, cy)
+        return jnp.einsum("ij,nj->ni", R_wl, X) + t_wl
+
+    def residuals(T, f, d):
+        y = se3.transform(T, point_world(f, d))
+        r_p = (obs + f) - camera.project(y, fx, fy, cx, cy)
+        return y, r_p, f - flow_meas, d - depth_meas
+
+    def robust_objective(T, f, d):
+        _, r_p, r_f, r_d = residuals(T, f, d)
+        chi2_p = p.reproj_info * jnp.sum(r_p * r_p, -1)
+        d2 = p.rp_thres
+        rho = jnp.where(chi2_p <= d2, chi2_p, 2 * jnp.sqrt(d2 * jnp.maximum(chi2_p, 1e-20)) - d2)
+        F = rho + p.flow_prior_info * jnp.sum(r_f * r_f, -1) + p.depth_prior_info * r_d * r_d
+        return jnp.sum(jnp.where(valid, F, 0.0)), chi2_p
+
+    f0 = flow_meas
+    d0 = depth_meas
+    F0, _ = robust_objective(T_init, f0, d0)
+    z0 = jnp.maximum(depth_meas, 1e-3)
+    lam0 = p.tau * jnp.maximum(
+        jnp.max(jnp.where(valid, p.reproj_info * ((fx / z0) ** 2 + (fy / z0) ** 2), 0.0)), 1.0
+    )
+
+    def build(T, f, d, lam):
+        y, r_p, r_f, r_d = residuals(T, f, d)
+        chi2_p = p.reproj_info * jnp.sum(r_p * r_p, -1)
+        w_rob = jnp.where(chi2_p <= p.rp_thres, 1.0,
+                          jnp.sqrt(p.rp_thres / jnp.maximum(chi2_p, 1e-20)))
+        wp = p.reproj_info * jnp.where(valid, w_rob, 0.0)
+        wf = p.flow_prior_info * jnp.where(valid, 1.0, 0.0)
+        wd = p.depth_prior_info * jnp.where(valid, 1.0, 0.0)
+
+        z = jnp.maximum(y[..., 2], 1e-6)
+        inv_z = 1.0 / z
+        zero = jnp.zeros_like(z)
+        dpi = jnp.stack([
+            jnp.stack([fx * inv_z, zero, -fx * y[..., 0] * inv_z * inv_z], -1),
+            jnp.stack([zero, fy * inv_z, -fy * y[..., 1] * inv_z * inv_z], -1),
+        ], -2)                                           # (N, 2, 3)
+        dy_dxi = jnp.concatenate(
+            [-se3.hat(y), jnp.broadcast_to(jnp.eye(3, dtype=y.dtype), y.shape[:-1] + (3, 3))], -1
+        )
+        A = -jnp.einsum("nij,njk->nik", dpi, dy_dxi)      # d r_p/d xi (N, 2, 6)
+        # d r_p / d depth: X = backproject(obs, d) is linear in d, so
+        # dX/dd = backproject(obs, 1) and dy/dd = R_total @ that ray
+        dirs = camera.backproject(obs, jnp.ones_like(d), fx, fy, cx, cy)
+        dy_dd = jnp.einsum("ij,nj->ni", T[:3, :3] @ R_wl, dirs)
+        J_d = -jnp.einsum("nij,nj->ni", dpi, dy_dd)       # (N, 2)
+        # point-vertex jacobian of r_p wrt (fu, fv, d): [I2 | J_d]
+        B = jnp.concatenate([jnp.broadcast_to(jnp.eye(2, dtype=y.dtype), r_p.shape[:-1] + (2, 2)),
+                             J_d[..., None]], -1)          # (N, 2, 3)
+
+        H_TT = jnp.einsum("nia,nib,n->ab", A, A, wp)
+        g_T = jnp.einsum("nia,ni,n->a", A, r_p, wp)
+        prior_diag = jnp.stack([wf, wf, wd], -1)           # (N, 3)
+        H_vv = jnp.einsum("nia,nib,n->nab", B, B, wp) + \
+            jax.vmap(jnp.diag)(prior_diag + lam)
+        g_v = jnp.einsum("nia,ni,n->na", B, r_p, wp) + prior_diag * jnp.stack(
+            [r_f[:, 0], r_f[:, 1], r_d], -1)
+        H_Tv = jnp.einsum("nia,nib,n->nab", A, B, wp)      # (N, 6, 3)
+
+        H_vv_inv = jnp.linalg.inv(H_vv)
+        H_red = H_TT + lam * jnp.eye(6) - jnp.einsum(
+            "nab,nbc,ndc->ad", H_Tv, H_vv_inv, H_Tv)
+        g_red = g_T - jnp.einsum("nab,nbc,nc->a", H_Tv, H_vv_inv, g_v)
+        dxi = jnp.linalg.solve(H_red, -g_red)
+        dv = -jnp.einsum("nab,nb->na", H_vv_inv,
+                         g_v + jnp.einsum("nba,b->na", H_Tv, dxi))
+        pred = 0.5 * (jnp.dot(dxi, lam * dxi - g_red) + jnp.sum(
+            jnp.where(valid[:, None], dv * (lam * dv - g_v), 0.0)))
+        return dxi, dv, pred
+
+    def body(state):
+        it, T, f, d, Fv, lam, nu, done = state
+        dxi, dv, pred = build(T, f, d, lam)
+        T_new = se3.exp_se3(dxi) @ T
+        f_new = f + dv[:, :2]
+        d_new = jnp.maximum(d + dv[:, 2], 1e-3)
+        F_new, _ = robust_objective(T_new, f_new, d_new)
+        accept = (F_new < Fv) & jnp.isfinite(F_new)
+        gain = (Fv - F_new) / jnp.maximum(pred, 1e-20)
+        lam_acc = lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * gain - 1.0) ** 3)
+        done = done | (accept & (Fv - F_new < 1e-7 * Fv + 1e-10)) | (lam > 1e8)
+        T = jnp.where(accept, T_new, T)
+        f = jnp.where(accept, f_new, f)
+        d = jnp.where(accept, d_new, d)
+        Fv = jnp.where(accept, F_new, Fv)
+        lam = jnp.where(accept, lam_acc, lam * nu)
+        nu = jnp.where(accept, 2.0, nu * 2.0)
+        return (it + 1, T, f, d, Fv, lam, nu, done)
+
+    def cond(state):
+        return (state[0] < p.iters) & ~state[-1]
+
+    _, T, f, d, Fv, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), T_init, f0, d0, F0, lam0, jnp.float32(2.0), jnp.bool_(False)),
+    )
+    _, chi2 = robust_objective(T, f, d)
+    inliers = valid & (chi2 <= p.rp_thres)
+    n_in = jnp.sum(inliers.astype(jnp.int32))
+    mean_reproj = jnp.sum(jnp.where(inliers, jnp.sqrt(chi2), 0.0)) / jnp.maximum(n_in, 1)
+    return FlowBAResult(T=T, flow=f, chi2=chi2, inliers=inliers,
+                        n_inliers=n_in, mean_reproj=mean_reproj)
