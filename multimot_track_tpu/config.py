@@ -59,7 +59,10 @@ class PaddingConfig:
     # slots cover every sequence the reference can read; raise for datasets
     # with more simultaneous instances
     k_obj_max: int = 4
-    n_per_obj_max: int = 2048       # points gathered per object for its solve
+    # per-object gather size for the motion solvers: close KITTI objects
+    # carry ~3k dense samples at step 4, so 4096 keeps effectively all of
+    # them while halving the padded-solver work
+    n_per_obj_max: int = 4096
 
 
 @dataclasses.dataclass(frozen=True)

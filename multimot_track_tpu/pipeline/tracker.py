@@ -171,9 +171,30 @@ def track_pair(
         tau=sol.lm_tau,
     )
 
-    def solve_one(k_rng, memb, mode_lab):
+    # compact each label's members into fixed per-object slots: the solvers
+    # then run over n_per_obj_max points instead of the full padded set
+    M = cfg.padding.n_per_obj_max
+
+    def compact_label(memb):
+        slots = jnp.cumsum(memb.astype(jnp.int32)) - 1
+        tgt = jnp.where(memb, slots, M)
+        n = jnp.sum(memb.astype(jnp.int32))
+        mask = jnp.arange(M) < n
+
+        def take(arr, fill=0.0):
+            out = jnp.full((M,) + arr.shape[1:], fill, arr.dtype)
+            return out.at[tgt].set(arr, mode="drop")
+
+        return (
+            take(pair.ob_uv), take(pair.ob_flow), take(pair.ob_depth),
+            take(pair.ob_cur_uv), take(Xp_w), take(xyz_cur_ob), mask,
+        )
+
+    c_uv, c_flow, c_depth, c_cur_uv, c_Xp, c_xyz, c_mask = jax.vmap(compact_label)(member)
+
+    def solve_one(k_rng, uv_o, flow_o, depth_o, cur_uv_o, Xp_o, xyz_o, memb, mode_lab):
         rrk = ransac.ransac_rigid_pose(
-            k_rng, Xp_w, pair.ob_cur_uv, xyz_cur_ob, memb,
+            k_rng, Xp_o, cur_uv_o, xyz_o, memb,
             fx, fy, cx, cy,
             thresh=sol.ransac_reproj_px, iters=sol.obj_ransac_iters,
             refine_iters=sol.refine_gn_iters,
@@ -183,7 +204,7 @@ def track_pair(
         has_prev = ctx.H_prev_valid[mode_lab]
         MM = Tcw_cur @ H_prev
         inl_mm, n_mm = ransac._count_inliers(
-            MM, Xp_w, pair.ob_cur_uv, memb, sol.ransac_reproj_px, fx, fy, cx, cy
+            MM, Xp_o, cur_uv_o, memb, sol.ransac_reproj_px, fx, fy, cx, cy
         )
         use_mm = has_prev & (n_mm >= rrk.n_inliers)
         T_init = jnp.where(use_mm, MM, rrk.T)
@@ -191,17 +212,19 @@ def track_pair(
         n_subset = jnp.sum(subset.astype(jnp.int32))
 
         res = solve_flow_ba(
-            T_init, Twl, pair.ob_uv, pair.ob_flow, pair.ob_depth, subset,
+            T_init, Twl, uv_o, flow_o, depth_o, subset,
             fx, fy, cx, cy, params=obj_params,
         )
         P = jnp.where(n_subset >= 3, res.T, jnp.eye(4, dtype=res.T.dtype))
         H_world = se3.inverse(Tcw_cur) @ P                  # vObjMod (Tracking.cc:2129)
         sw = subset.astype(jnp.float32)
-        centre_pre = jnp.sum(Xp_w * sw[:, None], axis=0) / jnp.maximum(jnp.sum(sw), 1.0)
-        return H_world, res.n_inliers, centre_pre, subset
+        centre_pre = jnp.sum(Xp_o * sw[:, None], axis=0) / jnp.maximum(jnp.sum(sw), 1.0)
+        return H_world, res.n_inliers, centre_pre
 
     keys = jax.random.split(k_obj, K)
-    H_world, n_inl, centre_pre, subsets = jax.vmap(solve_one)(keys, member, mode_last)
+    H_world, n_inl, centre_pre = jax.vmap(solve_one)(
+        keys, c_uv, c_flow, c_depth, c_cur_uv, c_Xp, c_xyz, c_mask, mode_last
+    )
 
     # current-frame world centroid + bbox over all members (Tracking.cc:1694-1902)
     centre3d = jnp.einsum("kn,ni->ki", mf, Xc_w) / jnp.maximum(count[:, None], 1.0)
