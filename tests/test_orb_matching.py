@@ -101,8 +101,10 @@ def test_fused_pallas_matcher_interpret():
     best, second, idx = pallas_match.fused_match_projected(
         a, uv_a, va, b, uv_b, vb, radius=100.0, interpret=True
     )
-    # reference via the XLA path
+    # reference via the XLA path; random descriptors tie often, so assert
+    # the kernel picked *a* minimiser rather than the same one (hardware
+    # argmin tie-breaking differs from numpy's)
     D = np.asarray(matching.hamming_matrix(a, b))
-    ref_idx = D.argmin(1)
-    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
     np.testing.assert_allclose(np.asarray(best), D.min(1))
+    picked = D[np.arange(N), np.asarray(idx)]
+    np.testing.assert_allclose(picked, D.min(1))
