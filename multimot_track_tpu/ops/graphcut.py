@@ -73,7 +73,7 @@ def sample_motion_hypotheses(
     p = vf / jnp.maximum(jnp.sum(vf), 1.0)
     seeds = jax.random.choice(key, N, shape=(n_hyp,), p=p)
     k = graph.nbr_idx.shape[1]
-    take = jnp.minimum(mss_size - 1, k)
+    take = min(mss_size - 1, k)  # static: shapes must not trace
     nbrs = graph.nbr_idx[seeds][:, :take]                  # (n_hyp, take)
     members = jnp.concatenate([seeds[:, None], nbrs], axis=1)  # (n_hyp, mss)
     src = Xw_last[members]
