@@ -78,7 +78,8 @@ class MultiMotSystem:
     STATE_LOST = "LOST"
 
     def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG, seed: int = 0,
-                 min_inliers: int = 10, max_lost_frames: int = 5):
+                 min_inliers: int = 10, max_lost_frames: int = 5,
+                 enable_keyframes: bool = False, keyframe_gap: int = 5):
         self.cfg = cfg
         self.key = jax.random.PRNGKey(seed)
         self.map = MapState()
@@ -94,6 +95,15 @@ class MultiMotSystem:
         self._lost_streak = 0
         self._velocity = np.eye(4, dtype=np.float32)  # mVelocity analog
         self._result_spec = None
+        # optional keyframe store: place recognition + relocalization on
+        # LOST (Tracking::Relocalization ladder) and loop-closing hooks
+        self.enable_keyframes = enable_keyframes
+        if enable_keyframes:
+            from multimot_track_tpu.pipeline.keyframes import KeyframeStore
+
+            self.keyframes = KeyframeStore(min_gap=keyframe_gap)
+        else:
+            self.keyframes = None
 
     # ------------------------------------------------------------------
     def reset(self):
@@ -188,6 +198,13 @@ class MultiMotSystem:
             self.state = self.STATE_LOST
             self._lost_streak += 1
             Tcw_fallback = self._velocity @ Tcw_last
+            # relocalization attempt against stored keyframes (descriptor
+            # place recognition -> RANSAC PnP), reference's LOST ladder
+            T_reloc = self._try_relocalize(fd, step_key)
+            if T_reloc is not None:
+                Tcw_fallback = T_reloc
+                self.state = self.STATE_OK
+                self._lost_streak = 0
             result = result._replace(Tcw_cur=Tcw_fallback)
             if self._lost_streak > self.max_lost_frames:
                 # reference: full reset when lost persists (Tracking.cc:1164)
@@ -197,6 +214,9 @@ class MultiMotSystem:
             self.state = self.STATE_OK
             self._lost_streak = 0
             self._velocity = np.asarray(result.Tcw_cur) @ np.linalg.inv(Tcw_last)
+
+        if self.enable_keyframes and self.state == self.STATE_OK:
+            self._maybe_add_keyframe(fd, np.asarray(result.Tcw_cur))
 
         self._record(result, fd)
         if self.state == self.STATE_LOST:
@@ -209,6 +229,59 @@ class MultiMotSystem:
         self._frame_idx += 1
         self.map.frame_times.append(time.perf_counter() - t0)
         return result
+
+    # ------------------------------------------------------------------
+    def _describe_frame(self, fd: FrameData):
+        """FAST + ORB + depth on a frame (keyframe/reloc features)."""
+        import jax.numpy as jnp
+
+        from multimot_track_tpu.frontend import fast, orb
+        from multimot_track_tpu.geometry import camera as cam_g
+
+        g = jnp.asarray(fd.gray)
+        kp = fast.detect_pyramid(g, n_levels=4, n_total=1024)
+        desc, _ = orb.describe(g, kp.uv)
+        depth = cam_g.disparity_png_to_depth(
+            jnp.asarray(fd.depth_raw), self.cfg.camera.bf
+        )
+        z, _ = cam_g.nearest_sample(depth, kp.uv)
+        valid = kp.valid & (z > 0) & (z < 60.0)
+        return kp.uv, desc, valid, z
+
+    def _maybe_add_keyframe(self, fd: FrameData, Tcw: np.ndarray):
+        from multimot_track_tpu.pipeline.keyframes import Keyframe
+
+        if self.keyframes.frames and (
+            self._frame_idx - self.keyframes.frames[-1].index
+            < self.keyframes.min_gap
+        ):
+            return
+        cam = self.cfg.camera
+        uv, desc, valid, z = self._describe_frame(fd)
+        from multimot_track_tpu.geometry import camera as cam_g
+
+        Xc = np.asarray(cam_g.backproject(uv, z, cam.fx, cam.fy, cam.cx, cam.cy))
+        Twc = np.linalg.inv(Tcw)
+        Xw = (Twc[:3, :3] @ Xc.T).T + Twc[:3, 3]
+        self.keyframes.maybe_add(
+            Keyframe(
+                index=self._frame_idx,
+                Tcw=Tcw.astype(np.float32),
+                uv=np.asarray(uv),
+                desc=np.asarray(desc),
+                valid=np.asarray(valid),
+                Xw=Xw.astype(np.float32),
+            )
+        )
+
+    def _try_relocalize(self, fd: FrameData, key):
+        if not self.enable_keyframes or not (self.keyframes and self.keyframes.frames):
+            return None
+        cam = self.cfg.camera
+        uv, desc, valid, _ = self._describe_frame(fd)
+        return self.keyframes.relocalize(
+            key, desc, uv, valid, cam.fx, cam.fy, cam.cx, cam.cy
+        )
 
     # ------------------------------------------------------------------
     def _record(self, r: tracker.PairResult, fd: FrameData):

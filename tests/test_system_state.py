@@ -62,3 +62,39 @@ def test_checkpoint_roundtrip(tmp_path, kitti_sample_dir):
         np.asarray(ra.Tcw_cur), np.asarray(rb.Tcw_cur), atol=1e-6
     )
     assert len(b.map.camera_poses) == len(a.map.camera_poses)
+
+
+def test_keyframes_and_relocalization(kitti_sample_dir):
+    """Keyframe store fills during tracking; relocalization recovers the
+    pose when a pair's correspondences are destroyed."""
+    seq = KittiSequence(kitti_sample_dir)
+    sys_ = MultiMotSystem(SMALL_CFG, enable_keyframes=True, keyframe_gap=1)
+    for i in range(2):
+        sys_.track_rgbd(seq.load_frame(i))
+    assert sys_.keyframes is not None
+    assert len(sys_.keyframes.frames) >= 1
+
+    # frame 2 arrives with garbage flow: the NEXT pair (2 -> 3) inherits
+    # these correspondences and must go LOST; frame 3's image is real, so
+    # relocalization against the stored keyframes recovers the pose
+    rng = np.random.default_rng(0)
+    f2 = seq.load_frame(2)
+    f2_broken = FrameData(
+        index=2, timestamp=f2.timestamp, gray=f2.gray,
+        depth_raw=f2.depth_raw,
+        flow=rng.uniform(-80, 80, f2.flow.shape).astype(np.float32),
+        sem_mask=f2.sem_mask, pose_gt=f2.pose_gt,
+        obj_ids_gt=f2.obj_ids_gt, obj_poses_gt=f2.obj_poses_gt,
+        obj_bboxes_gt=f2.obj_bboxes_gt,
+    )
+    sys_.track_rgbd(f2_broken)
+    f3 = seq.load_frame(3)
+    r = sys_.track_rgbd(f3)
+    assert sys_.state == MultiMotSystem.STATE_OK, sys_.state
+    T = np.asarray(r.Tcw_cur)
+    assert np.all(np.isfinite(T))
+    # recovered pose close to frame 3 ground truth (est world == gt world
+    # up to a few cm of drift over 3 frames)
+    Tcw_gt3 = np.linalg.inv(f3.pose_gt)
+    E = T @ np.linalg.inv(Tcw_gt3)
+    assert np.linalg.norm(E[:3, 3]) < 0.8, E[:3, 3]
