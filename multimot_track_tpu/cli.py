@@ -25,6 +25,10 @@ def main(argv=None):
     ap.add_argument("--viz", action="store_true", help="render overlays per frame")
     ap.add_argument("--profile", action="store_true", help="print stage timing")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument(
+        "--stereo", action="store_true",
+        help="sequence has image_2/image_3 stereo pairs instead of depth/",
+    )
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -44,7 +48,12 @@ def main(argv=None):
     elif (pathlib.Path(args.sequence) / "kitti03.yaml").exists():
         cfg = config_from_yaml(pathlib.Path(args.sequence) / "kitti03.yaml", cfg)
 
-    seq = get_sequence(args.sequence)
+    if args.stereo:
+        from multimot_track_tpu.io.stereo_seq import StereoKittiSequence
+
+        seq = StereoKittiSequence(args.sequence)
+    else:
+        seq = get_sequence(args.sequence)
     n = len(seq) if args.frames is None else min(args.frames, len(seq))
     sys_ = MultiMotSystem(cfg)
     out = pathlib.Path(args.out) if args.out else None

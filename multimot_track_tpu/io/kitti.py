@@ -105,15 +105,18 @@ class KittiSequence:
     def __init__(self, root, max_label: int = 4):
         self.root = pathlib.Path(root)
         self.max_label = max_label
-        self.timestamps = [
-            float(s.split()[0])
-            for s in (self.root / "times.txt").read_text().splitlines()
-            if s.strip()
-        ]
-        self.poses_gt = load_pose_gt(self.root / "pose_gt.txt")
-        self.obj_rows = load_object_pose(self.root / "object_pose.txt")
+        times = self.root / "times.txt"
+        self.timestamps = (
+            [float(s.split()[0]) for s in times.read_text().splitlines() if s.strip()]
+            if times.exists()
+            else []
+        )
+        pose = self.root / "pose_gt.txt"
+        self.poses_gt = load_pose_gt(pose) if pose.exists() else {}
+        objp = self.root / "object_pose.txt"
+        self.obj_rows = load_object_pose(objp) if objp.exists() else {}
         n_img = len(list((self.root / "image").glob("*.png")))
-        self.n_frames = min(len(self.timestamps), n_img)
+        self.n_frames = min(len(self.timestamps), n_img) if self.timestamps else n_img
 
     def __len__(self) -> int:
         return self.n_frames

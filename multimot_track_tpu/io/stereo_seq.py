@@ -1,0 +1,88 @@
+"""Stereo sequence adapter: KITTI image_2/image_3 layout -> FrameData.
+
+The reference needs a separate driver for stereo
+(Examples/Stereo/stereo_kitti.cc: dual ORB extraction +
+ComputeStereoMatches); here the dense block-matching disparity
+(frontend/stereo) converts stereo input into the RGB-D pipeline's depth
+encoding on device, so the entire multi-motion pipeline — and the CLI —
+runs unchanged on stereo sequences.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from multimot_track_tpu.io import kitti
+from multimot_track_tpu.frontend import stereo
+
+
+class StereoKittiSequence(kitti.KittiSequence):
+    """Sequence with image_2/ (left) + image_3/ (right) instead of depth/.
+
+    Other inputs (flow/, semantic/, pose_gt.txt, object_pose.txt,
+    times.txt) follow the standard layout; depth_raw is synthesised from
+    block-matching disparity in the loader.
+    """
+
+    def __init__(self, root, max_label: int = 4, max_disp: int = 128):
+        self.max_disp = max_disp
+        root = pathlib.Path(root)
+        # reuse the base init but count frames from image_2
+        super().__init__(root, max_label=max_label)
+        n_img = len(list((root / "image_2").glob("*.png")))
+        self.n_frames = min(len(self.timestamps), n_img) if self.timestamps else n_img
+
+    def frame_paths(self, i: int):
+        p = super().frame_paths(i)
+        stem = f"{i:06d}"
+        p["image"] = self.root / "image_2" / f"{stem}.png"
+        p["right"] = self.root / "image_3" / f"{stem}.png"
+        return p
+
+    def load_frame(self, i: int) -> kitti.FrameData:
+        p = self.frame_paths(i)
+        left = kitti._rgb_to_gray(np.asarray(Image.open(p["image"])))
+        right = kitti._rgb_to_gray(np.asarray(Image.open(p["right"])))
+        disp = stereo.dense_disparity(
+            jnp.asarray(left), jnp.asarray(right), max_disp=self.max_disp
+        )
+        depth_raw = np.asarray(stereo.disparity_to_depth_raw(disp))
+        H, W = left.shape
+        flow = (
+            kitti.read_flo(p["flow"])
+            if p["flow"].exists()
+            else np.zeros((H, W, 2), np.float32)
+        )
+        sem = (
+            kitti.load_mask_txt(p["semantic"], H, W, self.max_label)
+            if p["semantic"].exists()
+            else np.zeros((H, W), np.int32)
+        )
+        rows = self.obj_rows.get(i, [])
+        obj_ids = np.asarray([int(r[1]) for r in rows], np.int32)
+        obj_poses = (
+            np.stack([kitti.obj_pose_row_to_T(r) for r in rows])
+            if rows
+            else np.zeros((0, 4, 4), np.float32)
+        )
+        obj_boxes = (
+            np.stack([r[2:6] for r in rows]).astype(np.float32)
+            if rows
+            else np.zeros((0, 4), np.float32)
+        )
+        return kitti.FrameData(
+            index=i,
+            timestamp=self.timestamps[i] if i < len(self.timestamps) else float(i),
+            gray=left,
+            depth_raw=depth_raw,
+            flow=flow,
+            sem_mask=sem,
+            pose_gt=self.poses_gt.get(i, np.eye(4, dtype=np.float32)),
+            obj_ids_gt=obj_ids,
+            obj_poses_gt=obj_poses,
+            obj_bboxes_gt=obj_boxes,
+        )
