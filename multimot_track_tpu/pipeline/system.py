@@ -337,6 +337,9 @@ class MultiMotSystem:
     def summary(self) -> dict:
         m = self.map
         cam = np.asarray(m.cam_rpe_rel) if m.cam_rpe_rel else np.zeros((0, 2))
+        # GT-free sequences produce non-finite relative errors (division by
+        # a zero GT displacement); report None instead of NaN
+        cam = cam[np.isfinite(cam).all(axis=1)] if len(cam) else cam
         objs = [o for o in m.obj_records if o.has_gt]
         return {
             "n_frames": self._frame_idx,

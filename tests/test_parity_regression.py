@@ -1,0 +1,25 @@
+"""Regression gate pinned to the measured head-to-head numbers (PARITY.md).
+
+Run with the full default configuration over the whole kitti_sample; the
+bounds sit between our measured results and a regression that would lose
+parity with the reference (reference means: camera 4.94 % t, object
+9.90 % t, speed error 5.25 %)."""
+
+import numpy as np
+import pytest
+
+from multimot_track_tpu.config import DEFAULT_CONFIG
+from multimot_track_tpu.io.kitti import KittiSequence
+from multimot_track_tpu.pipeline.system import run_sequence
+
+
+@pytest.mark.slow
+def test_full_config_parity(kitti_sample_dir):
+    seq = KittiSequence(kitti_sample_dir)
+    sys_ = run_sequence(seq, DEFAULT_CONFIG, n_frames=5)
+    s = sys_.summary()
+    # measured this round: 0.0559 / 0.1061 / 0.0459
+    assert s["cam_t_rpe_rel_mean"] < 0.075, s
+    assert s["obj_t_rpe_rel_mean"] < 0.135, s
+    assert s["obj_speed_err_rel_mean"] < 0.08, s
+    assert s["n_obj_estimates"] == 4
