@@ -77,6 +77,72 @@ class KeyframeStore:
         return int(scores.argmax())
 
     # ------------------------------------------------------------------
+    def covisibility(self, i: int, j: int, threshold: float = 50.0) -> int:
+        """Shared-observation count between stored keyframes i and j — the
+        covisibility-graph weight (KeyFrame::UpdateConnections)."""
+        a, b = self.frames[i], self.frames[j]
+        res = matching.match_descriptors(
+            jnp.asarray(a.desc), jnp.asarray(b.desc),
+            jnp.asarray(a.valid), jnp.asarray(b.valid),
+            threshold=threshold,
+        )
+        return int(jnp.sum(res.valid))
+
+    def cull_redundant(self, overlap: float = 0.9) -> int:
+        """Drop keyframes ~fully covisible with both neighbours
+        (LocalMapping::KeyFrameCulling's 90% redundancy rule).  Returns the
+        number culled."""
+        culled = 0
+        k = 1
+        while k < len(self.frames) - 1:
+            kf = self.frames[k]
+            n_own = max(int(kf.valid.sum()), 1)
+            c_prev = self.covisibility(k, k - 1)
+            c_next = self.covisibility(k, k + 1)
+            if c_prev > overlap * n_own and c_next > overlap * n_own:
+                self.frames.pop(k)
+                culled += 1
+            else:
+                k += 1
+        return culled
+
+    def triangulate_between(
+        self, i: int, j: int, fx, fy, cx, cy, max_reproj_px: float = 2.0
+    ):
+        """Create new world points from descriptor matches between two
+        keyframes (LocalMapping::CreateNewMapPoints' role).  Returns
+        (Xw (N, 3), valid (N,)) aligned with keyframe i's keypoint slots."""
+        from multimot_track_tpu.solvers.initializer import triangulate
+        from multimot_track_tpu.geometry import camera as cam_g
+
+        a, b = self.frames[i], self.frames[j]
+        res = matching.match_descriptors(
+            jnp.asarray(a.desc), jnp.asarray(b.desc),
+            jnp.asarray(a.valid), jnp.asarray(b.valid),
+        )
+        Kmat = np.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+        P1 = Kmat @ a.Tcw[:3]
+        P2 = Kmat @ b.Tcw[:3]
+        uv_b = b.uv[np.asarray(res.idx)]
+        X = np.asarray(
+            triangulate(jnp.asarray(P1), jnp.asarray(P2),
+                        jnp.asarray(a.uv), jnp.asarray(uv_b.astype(np.float32)))
+        )
+        # cheirality + reprojection gates
+        Xc1 = (a.Tcw[:3, :3] @ X.T).T + a.Tcw[:3, 3]
+        Xc2 = (b.Tcw[:3, :3] @ X.T).T + b.Tcw[:3, 3]
+        uv1_hat = np.asarray(cam_g.project(jnp.asarray(Xc1), fx, fy, cx, cy))
+        err = np.linalg.norm(uv1_hat - a.uv, axis=-1)
+        ok = (
+            np.asarray(res.valid)
+            & (Xc1[:, 2] > 0)
+            & (Xc2[:, 2] > 0)
+            & np.isfinite(X).all(1)
+            & (err < max_reproj_px)
+        )
+        return X.astype(np.float32), ok
+
+    # ------------------------------------------------------------------
     def relocalize(
         self,
         key: jax.Array,

@@ -86,3 +86,38 @@ def test_relocalization():
     assert T is not None
     E = T @ np.linalg.inv(T_new)
     assert np.linalg.norm(E[:3, 3]) < 0.02
+
+
+def test_covisibility_and_culling():
+    store = keyframes.KeyframeStore(min_gap=1)
+    kf = make_kf(0, seed=7)
+    # three keyframes with identical descriptors (fully covisible)
+    for i in range(3):
+        store.maybe_add(keyframes.Keyframe(
+            index=i, Tcw=kf.Tcw, uv=kf.uv, desc=kf.desc,
+            valid=kf.valid, Xw=kf.Xw,
+        ))
+    assert store.covisibility(0, 1) > 200
+    culled = store.cull_redundant()
+    assert culled == 1            # middle frame is redundant
+    assert len(store.frames) == 2
+
+
+def test_triangulation_between_keyframes():
+    # two views of the same points with a baseline
+    rng = np.random.default_rng(3)
+    n = 256
+    uv = rng.uniform([200, 80], [1000, 300], (n, 2)).astype(np.float32)
+    z = rng.uniform(6, 25, (n,)).astype(np.float32)
+    Xc = np.asarray(camera.backproject(jnp.asarray(uv), jnp.asarray(z), CAM.fx, CAM.fy, CAM.cx, CAM.cy))
+    T2 = np.asarray(se3.exp_se3(jnp.asarray([0.01, -0.02, 0.0, 0.5, 0.02, 0.8], jnp.float32)))
+    Xc2 = (T2[:3, :3] @ Xc.T).T + T2[:3, 3]
+    uv2 = np.asarray(camera.project(jnp.asarray(Xc2), CAM.fx, CAM.fy, CAM.cx, CAM.cy)).astype(np.float32)
+    desc = rng.choice([-1, 1], size=(n, 256)).astype(np.int8)
+    store = keyframes.KeyframeStore(min_gap=1)
+    store.maybe_add(keyframes.Keyframe(0, np.eye(4, dtype=np.float32), uv, desc, np.ones(n, bool), Xc))
+    store.maybe_add(keyframes.Keyframe(1, T2.astype(np.float32), uv2, desc, np.ones(n, bool), Xc2))
+    X, ok = store.triangulate_between(0, 1, CAM.fx, CAM.fy, CAM.cx, CAM.cy)
+    assert ok.sum() > 0.8 * n
+    err = np.linalg.norm(X[ok] - Xc[ok], axis=-1)
+    assert np.median(err) < 0.05
