@@ -106,6 +106,7 @@ def run_sequence_batched(
     frame_list: List,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     seed: int = 0,
+    max_pairs_per_call: int = 16,
 ):
     """End-to-end batched tracking of loaded FrameData records.
 
@@ -128,8 +129,22 @@ def run_sequence_batched(
 
     obs = frontend_batch(gray_u8, depth_u16, flow_i16, sem_u8, gt_stack, cfg)
     keys = jax.random.split(jax.random.PRNGKey(seed), Fn - 1)
-    packed = track_batch_packed(keys, obs, depth_u16, sem_u8, gt_stack, cfg)
-    res = tracker.unpack_pytree(packed, batch_result_spec(Fn - 1, cfg))
+    # chunk long sequences: each device call handles <= max_pairs_per_call
+    # pairs (HBM peaks scale with the pair axis); one compiled program per
+    # distinct chunk length (at most two: full chunks + one remainder)
+    n_pairs = Fn - 1
+    chunks = []
+    for c0 in range(0, n_pairs, max_pairs_per_call):
+        c1 = min(c0 + max_pairs_per_call, n_pairs)
+        obs_c = jax.tree_util.tree_map(lambda x: x[c0:c1 + 1], obs)
+        gt_c = jax.tree_util.tree_map(lambda x: x[c0:c1 + 1], gt_stack)
+        packed_c = track_batch_packed(
+            keys[c0:c1], obs_c, depth_u16[c0:c1 + 1], sem_u8[c0:c1 + 1], gt_c, cfg
+        )
+        chunks.append(
+            tracker.unpack_pytree(packed_c, batch_result_spec(c1 - c0, cfg))
+        )
+    res = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *chunks)
 
     # ---- host post-pass: compose trajectory, world-frame objects, IDs ----
     T_rel = np.asarray(res.Tcw_cur)                     # (F-1, 4, 4)

@@ -95,7 +95,17 @@ def ransac_rigid_pose(
         _, n = _count_inliers(T, Xw_last, uv_cur, valid, thresh, fx, fy, cx, cy)
         return n
 
-    counts = jax.vmap(score)(T_hyp)
+    # score hypotheses in chunks: a flat vmap materialises (iters, N, 3)
+    # intermediates, which blows HBM once this solver itself sits under a
+    # pairs x objects vmap; lax.map bounds the live set to one chunk
+    chunk = 250
+    n_chunks = max(iters // chunk, 1)
+    if iters % chunk == 0 and n_chunks > 1:
+        counts = jax.lax.map(
+            jax.vmap(score), T_hyp.reshape(n_chunks, chunk, 4, 4)
+        ).reshape(iters)
+    else:
+        counts = jax.vmap(score)(T_hyp)
     best = jnp.argmax(counts)
     T_best = T_hyp[best]
     inl0, _ = _count_inliers(T_best, Xw_last, uv_cur, valid, thresh, fx, fy, cx, cy)
