@@ -32,16 +32,12 @@ def main():
     from multimot_track_tpu.pipeline.system import MultiMotSystem
 
     seq = get_sequence("/root/reference/kitti_sample")
-    base = [seq.load_frame(i) for i in range(len(seq))]
-    # production batching: many pairs per device program (measured: 19-pair
-    # batches run ~45% faster per pair than 4-pair batches); replicating
-    # the sequence keeps every pair a full-cost solve
-    frames = base * 8
+    frames = [seq.load_frame(i) for i in range(len(seq))]
     cfg = DEFAULT_CONFIG
     # warm-up compiles the batched programs
     run_sequence_batched(frames, cfg)
 
-    reps = 3
+    reps = 8
     t0 = time.perf_counter()
     n = 0
     for r in range(reps):
