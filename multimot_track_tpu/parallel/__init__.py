@@ -1,1 +1,6 @@
-from multimot_track_tpu.parallel import mesh, pairwise, dist_ba  # noqa: F401
+from multimot_track_tpu.parallel import (  # noqa: F401
+    mesh,
+    pairwise,
+    dist_ba,
+    dist_window_ba,
+)

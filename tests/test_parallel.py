@@ -83,3 +83,27 @@ def test_pairwise_batch_and_compose():
     for k in range(B):
         ref = np.asarray(T_rel[k]) @ ref
     np.testing.assert_allclose(np.asarray(traj[-1]), ref, atol=1e-4)
+
+
+def test_distributed_window_ba_matches_single_chip():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import sys
+    sys.path.insert(0, "tests")
+    from test_window_ba import make_window
+
+    from multimot_track_tpu.parallel import dist_window_ba
+    from multimot_track_tpu.solvers.window_ba import WindowBAParams, solve_window_ba
+
+    uv, alive, z_meas, init, poses_true, _ = make_window(N=512)
+    params = WindowBAParams(iters=20)
+    single = solve_window_ba(
+        jnp.asarray(init), jnp.asarray(uv), jnp.asarray(alive), jnp.asarray(z_meas),
+        CAM.fx, CAM.fy, CAM.cx, CAM.cy, params=params,
+    )
+    m = meshmod.make_mesh(8, axis=meshmod.POINT_AXIS)
+    dist = dist_window_ba.make_distributed_window_ba(m, params, CAM.fx, CAM.fy, CAM.cx, CAM.cy)
+    poses_d, rho_d = dist(
+        jnp.asarray(init), jnp.asarray(uv), jnp.asarray(alive), jnp.asarray(z_meas)
+    )
+    np.testing.assert_allclose(np.asarray(poses_d), np.asarray(single.poses), atol=2e-3)
