@@ -155,9 +155,10 @@ class MultiMotSystem:
     @staticmethod
     def _compact_images(fd: FrameData):
         """Host-side dtype compaction for the tunnel-bound upload."""
-        gray = np.clip(np.round(fd.gray), 0, 255).astype(np.uint8)
-        depth = np.clip(fd.depth_raw, 0, 65535).astype(np.uint16)
-        flow = np.clip(fd.flow * 128.0, -32767, 32767).astype(np.int16)
+        gray = np.clip(np.nan_to_num(np.round(fd.gray)), 0, 255).astype(np.uint8)
+        depth = np.clip(np.nan_to_num(fd.depth_raw), 0, 65535).astype(np.uint16)
+        # NaN/inf flow (corrupt .flo) maps to 0 = "no correspondence"
+        flow = np.clip(np.nan_to_num(fd.flow * 128.0), -32767, 32767).astype(np.int16)
         sem = np.clip(fd.sem_mask, 0, 255).astype(np.uint8)
         return gray, depth, flow, sem
 
