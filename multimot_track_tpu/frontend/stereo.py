@@ -105,7 +105,32 @@ def dense_disparity(
         & (bestd > 0)
         & (bestd < max_disp - 1)
     )
-    return jnp.where(ok, disp, 0.0)
+    disp = jnp.where(ok, disp, 0.0)
+
+    # left-right consistency: re-match from the right image; disparities
+    # that disagree by > 1 px are occlusions/mismatches (the role of the
+    # reference's bestDist gates + the L/R agreement SearchByQuad enforces)
+    def cost_at_r(d):
+        shifted = jnp.roll(left, -d, axis=1)
+        ad = jnp.abs(right - shifted)
+        c = _box_filter(ad, radius)
+        return jnp.where(cols < W - d, c, jnp.inf)
+
+    def scan_r(carry, d):
+        best_r, bestd_r = carry
+        c = cost_at_r(d)
+        is_b = c < best_r
+        return (jnp.where(is_b, c, best_r), jnp.where(is_b, d, bestd_r)), None
+
+    (_, bestd_r), _ = jax.lax.scan(
+        scan_r, (jnp.full((H, W), jnp.inf), jnp.zeros((H, W), jnp.int32)), ds
+    )
+    # for left pixel x with disparity d, the right-image match at x-d must
+    # carry (approximately) the same disparity
+    xr = jnp.clip(cols - jnp.round(disp).astype(jnp.int32), 0, W - 1)
+    d_back = jnp.take_along_axis(bestd_r, xr, axis=1).astype(jnp.float32)
+    consistent = jnp.abs(d_back - disp) <= 1.0
+    return jnp.where(consistent, disp, 0.0)
 
 
 def disparity_to_depth_raw(disp: jnp.ndarray) -> jnp.ndarray:

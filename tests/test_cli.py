@@ -1,0 +1,30 @@
+"""CLI smoke test — the rgbd_mmt-equivalent user surface."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(kitti_sample_dir, tmp_path):
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "multimot_track_tpu.cli",
+            str(kitti_sample_dir), "--cpu", "--frames", "3",
+            "--out", str(out), "--viz",
+        ],
+        capture_output=True, text=True, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "cam RPE" in r.stdout
+    assert "obj label=" in r.stdout
+    assert (out / "camera_pose.txt").exists()
+    assert (out / "object_motion.txt").exists()
+    assert (out / "traj.png").exists()
+    # summary json parses
+    summary = r.stdout.split("summary:", 1)[1].rsplit("results written", 1)[0]
+    s = json.loads(summary)
+    assert s["n_frames"] == 3
