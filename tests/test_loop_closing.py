@@ -121,3 +121,40 @@ def test_triangulation_between_keyframes():
     assert ok.sum() > 0.8 * n
     err = np.linalg.norm(X[ok] - Xc[ok], axis=-1)
     assert np.median(err) < 0.05
+
+
+def test_close_loop_corrects_drifted_trajectory():
+    """Full loop-closing path: revisit keyframe 0 from a drifted pose; the
+    Sim3 verification + pose-graph solve must pull the trajectory back."""
+    kf0 = make_kf(0, seed=42)
+    # trajectory: 8 frames drifting forward; last frame truly back at start
+    M = 8
+    drift_step = np.asarray(
+        se3.exp_se3(jnp.asarray([0.0, 0.004, 0.0, 0.02, 0.0, 0.4], jnp.float32))
+    )
+    traj = [np.eye(4, dtype=np.float32)]
+    for _ in range(M - 1):
+        traj.append((drift_step @ traj[-1]).astype(np.float32))
+    traj = np.stack(traj)
+    # current keyframe: physically back at the start, so the CAMERA
+    # measurements equal kf0's camera-frame points; the stored world points
+    # are built through the (drifted, wrong) pose exactly as the live
+    # system would do it
+    Xc_measured = kf0.Xw  # kf0.Tcw == I, so world == camera frame there
+    Twc_bad = np.linalg.inv(traj[-1])
+    Xw_stored = (Twc_bad[:3, :3] @ Xc_measured.T).T + Twc_bad[:3, 3]
+    cur = keyframes.Keyframe(
+        index=M - 1, Tcw=traj[-1], uv=kf0.uv, desc=kf0.desc,
+        valid=kf0.valid, Xw=Xw_stored.astype(np.float32),
+    )
+    store = keyframes.KeyframeStore(min_gap=1)
+    store.maybe_add(kf0)
+    corrected, n_inl = store.close_loop(
+        jax.random.PRNGKey(0), cur, 0, traj, [0], CAM.fx, CAM.fy, CAM.cx, CAM.cy
+    )
+    assert n_inl > 20
+    # the loop edge ties the last pose back toward identity: its error must
+    # shrink substantially vs the drifted trajectory
+    e_before = np.linalg.norm(traj[-1][:3, 3])
+    e_after = np.linalg.norm(corrected[-1][:3, 3])
+    assert e_after < 0.5 * e_before, (e_before, e_after)
