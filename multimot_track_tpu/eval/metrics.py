@@ -109,6 +109,29 @@ def segmentation_confusion(
     return SegConfusion(tot=tot, fp=fp, fn=fn, nd=nd)
 
 
+def absolute_trajectory_error(
+    est_Twc: jnp.ndarray,   # (M, 4, 4) estimated camera-to-world poses
+    gt_Twc: jnp.ndarray,    # (M, 4, 4) ground-truth camera-to-world poses
+    align: bool = True,
+):
+    """ATE-RMSE after rigid (Umeyama, no scale) trajectory alignment — the
+    KITTI/TUM evaluation convention the BASELINE targets alongside RPE.
+
+    Returns (rmse, per-frame position errors).
+    """
+    from multimot_track_tpu.solvers.sim3 import umeyama
+
+    p_est = est_Twc[:, :3, 3]
+    p_gt = gt_Twc[:, :3, 3]
+    if align:
+        s, R, t = umeyama(p_est[None], p_gt[None], with_scale=False)
+        p_al = jnp.einsum("ij,nj->ni", R[0], p_est) + t[0]
+    else:
+        p_al = p_est
+    err = jnp.linalg.norm(p_al - p_gt, axis=-1)
+    return jnp.sqrt(jnp.mean(err**2)), err
+
+
 def flow_error_histogram(err: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """20-bin histogram of static-point flow error magnitudes, bin edges as in
     src/Tracking.cc:1231-1274 (0.5 px bins to 9, then [9,10), [10,inf))."""

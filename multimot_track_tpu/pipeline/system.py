@@ -53,6 +53,7 @@ class MapState:
     """Evaluation stores (reference Map, include/Map.h:69-90)."""
 
     camera_poses: List[np.ndarray] = dataclasses.field(default_factory=list)  # Twc, vmCameraPose_main
+    gt_poses: List[np.ndarray] = dataclasses.field(default_factory=list)       # Twc ground truth
     timestamps: List[float] = dataclasses.field(default_factory=list)
     cam_rpe_abs: List[np.ndarray] = dataclasses.field(default_factory=list)   # vvCamMotErr_1
     cam_rpe_rel: List[np.ndarray] = dataclasses.field(default_factory=list)   # vvCamMotErr_2
@@ -178,6 +179,7 @@ class MultiMotSystem:
                 H_prev_valid=jnp.zeros(K + 1, bool),
             )
             self.map.camera_poses.append(np.eye(4, dtype=np.float32))
+            self.map.gt_poses.append(np.asarray(fd.pose_gt, np.float32))
             self.map.timestamps.append(fd.timestamp)
             self._last_obs = tracker.first_step(gray, depth, flow, sem, gt, cfg)
             self._frame_idx += 1
@@ -289,6 +291,7 @@ class MultiMotSystem:
         m = self.map
         Twc = np.linalg.inv(np.asarray(r.Tcw_cur))
         m.camera_poses.append(Twc.astype(np.float32))
+        m.gt_poses.append(np.asarray(fd.pose_gt, np.float32))
         m.timestamps.append(fd.timestamp)
         m.cam_rpe_abs.append(np.asarray([float(r.cam_t_rpe), float(r.cam_r_rpe)]))
         m.cam_rpe_rel.append(np.asarray([float(r.cam_t_rpe_rel), float(r.cam_r_rpe_rel)]))
@@ -350,9 +353,29 @@ class MultiMotSystem:
             "obj_r_rpe_rel_mean": float(np.mean([o.r_rpe_rel for o in objs])) if objs else None,
             "obj_speed_err_rel_mean": float(np.mean([o.speed_err_rel for o in objs])) if objs else None,
             "n_obj_estimates": len(m.obj_records),
+            "ego_ate_rmse_m": self.ate(),
             "mean_frame_time_s": float(np.mean(m.frame_times)) if m.frame_times else None,
             "median_frame_time_s": float(np.median(m.frame_times)) if m.frame_times else None,
         }
+
+    def ate(self):
+        """Ego ATE-RMSE vs ground truth after rigid alignment (BASELINE
+        metric alongside the per-frame RPE)."""
+        import jax.numpy as jnp
+
+        from multimot_track_tpu.eval.metrics import absolute_trajectory_error
+
+        m = self.map
+        if len(m.camera_poses) < 2 or len(m.gt_poses) != len(m.camera_poses):
+            return None
+        # disk GT is camera-to-world relative to its own origin; normalise
+        # both trajectories to start at identity
+        est = np.stack(m.camera_poses)
+        gt = np.stack(m.gt_poses)
+        gt0_inv = np.linalg.inv(gt[0])
+        gt = np.einsum("ij,njk->nik", gt0_inv, gt)
+        rmse, _ = absolute_trajectory_error(jnp.asarray(est), jnp.asarray(gt))
+        return float(rmse)
 
     # ------------------------------------------------------------------
     def save_trajectory_kitti(self, path):

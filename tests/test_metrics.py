@@ -86,3 +86,26 @@ def test_flow_histogram_bins():
     assert h[18] == 1   # [9, 10)
     assert h[19] == 1   # [10, inf)
     assert h.sum() == 4
+
+
+def test_ate_zero_for_identical():
+    import numpy as np
+    from multimot_track_tpu.eval.metrics import absolute_trajectory_error
+    T = np.stack([np.eye(4, dtype=np.float32) for _ in range(5)])
+    for i in range(5):
+        T[i][2, 3] = i * 1.0
+    rmse, err = absolute_trajectory_error(jnp.asarray(T), jnp.asarray(T))
+    assert float(rmse) < 1e-5
+
+
+def test_ate_alignment_removes_global_offset():
+    import numpy as np
+    from multimot_track_tpu.eval.metrics import absolute_trajectory_error
+    from multimot_track_tpu.geometry import se3 as s3
+    gt = np.stack([np.eye(4, dtype=np.float32) for _ in range(6)])
+    for i in range(6):
+        gt[i][0, 3] = 0.5 * i
+    G = np.asarray(s3.exp_se3(jnp.asarray([0.1, 0.2, -0.1, 3.0, 1.0, -2.0], jnp.float32)))
+    est = np.einsum("ij,njk->nik", G, gt)
+    rmse, _ = absolute_trajectory_error(jnp.asarray(est), jnp.asarray(gt))
+    assert float(rmse) < 1e-3  # pure rigid offset must vanish under alignment
