@@ -90,8 +90,15 @@ def main(argv=None):
     print("\nsummary:", json.dumps(sys_.summary(), indent=2))
     if out:
         sys_.save_results(out)
+        obj_pts = [
+            (o.centre3d, o.track_id)
+            for o in sys_.map.obj_records
+            if np.all(np.isfinite(o.centre3d))
+        ]
         render.draw_trajectory(
-            [np.asarray(p) for p in sys_.map.camera_poses], path=out / "traj.png"
+            [np.asarray(p) for p in sys_.map.camera_poses],
+            object_centres=obj_pts,
+            path=out / "traj.png",
         )
         print(f"results written to {out}")
     if hasattr(seq, "close"):

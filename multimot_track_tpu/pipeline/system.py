@@ -404,6 +404,19 @@ class MultiMotSystem:
         out = pathlib.Path(out_dir)
         out.mkdir(parents=True, exist_ok=True)
         self.save_trajectory_kitti(out / "camera_pose.txt")
+        # per-frame / per-object error dump (reference SaveResults writes
+        # the Map error stores similarly, src/System.cc:326-492)
+        with open(out / "metrics.txt", "w") as f:
+            s = self.summary()
+            for k, v in s.items():
+                f.write(f"# {k}: {v}\n")
+            for i, r in enumerate(self.map.cam_rpe_rel):
+                f.write(f"cam_rpe {i + 1} {r[0]:.6f} {r[1]:.6f}\n")
+            for o in self.map.obj_records:
+                f.write(
+                    f"obj_rpe {o.frame} {o.track_id} {o.t_rpe_rel:.6f} "
+                    f"{o.r_rpe_rel:.6f} {o.speed_err_rel:.6f}\n"
+                )
         with open(out / "object_motion.txt", "w") as f:
             for o in self.map.obj_records:
                 f.write(
