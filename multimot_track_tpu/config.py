@@ -90,9 +90,34 @@ class SolverConfig:
     # improves the inlier subset (PARITY.md: object RPE 13% -> ~6%)
     obj_ransac_iters: int = 2000
     ransac_reproj_px: float = 0.3   # inlier reprojection gate (Tracking.cc:4363)
+    # objects deviate from the reference's 0.3 px: flow on moving objects is
+    # blurred, so 0.3 px keeps only 3-5% of points — too few/clustered to
+    # constrain rotation.  1.0 px triples the inlier set and halves measured
+    # object RPE (tools/diag_obj.py); final accuracy is restored by the
+    # chi2 re-classification rounds below.
+    obj_ransac_reproj_px: float = 1.0
+    # use the propagated previous motion as an init-model alternative for
+    # objects (GetInitModelObj); can be disabled to force pure RANSAC init
+    obj_motion_model_init: bool = True
+    # after the first solve on the init-model inliers, re-classify ALL
+    # member points by solver chi2 and re-solve (redescending iteration,
+    # the batched analog of g2o's per-round outlier levels)
+    obj_reclassify_rounds: int = 2
     refine_gn_iters: int = 10       # polish best hypothesis on inliers
+    # --- photometric flow verification (ops/photometric.py; no reference
+    # counterpart — the reference trusts .flo unconditionally and pays for
+    # it in coherent outlier clusters, measured in tools/diag_ego3.py) ---
+    zncc_patch_radius: int = 2      # (2r+1)^2 intensity patch
+    zncc_min: float = 0.9           # keep static points whose flow verifies
+    min_gated_static: int = 100     # fall back to the ungated set below this
+    # --- symmetric camera solve: fuse the forward solve (anchored on the
+    # last frame's depth) with a backward solve (anchored on the current
+    # frame's depth).  Cancels first-order per-frame depth bias; the
+    # reference has the same idea dormant as PoseOptimizationForBack
+    # (src/Optimizer.cc:2889) ---
+    symmetric_cam: bool = True
     # --- synthetic depth-noise injection (Frame.cc:1089, testing mechanism) ---
-    depth_noise: bool = False       # sigma = z^2/(725*0.5)*0.15 when enabled
+    depth_noise: bool = False       # sigma = z^2/(725*0.5)*scale when enabled
     depth_noise_scale: float = 0.15
 
 

@@ -36,6 +36,8 @@ class StaticSamples(NamedTuple):
     flow: jnp.ndarray    # (N, 2) float32 flow at uv (mvFlowNext)
     corres: jnp.ndarray  # (N, 2) float32 uv + flow (mvCorres)
     valid: jnp.ndarray   # (N,) bool
+    patch: jnp.ndarray   # (N, P) intensity patch at uv, for photometric
+    #                      flow verification in the next pair (ops/photometric)
 
 
 def compact(valid: jnp.ndarray, n_max: int, *payloads):
@@ -96,15 +98,17 @@ def sample_dense_objects(
     return ObjSamples(uv=uv_p, depth=d_p, label=l_p, flow=f_p, corres=c_p, valid=mask)
 
 
-@functools.partial(jax.jit, static_argnames=("n_max",))
+@functools.partial(jax.jit, static_argnames=("n_max", "patch_radius"))
 def sample_static(
     kp_uv: jnp.ndarray,
     kp_valid: jnp.ndarray,
     depth_img: jnp.ndarray,
     sem_mask: jnp.ndarray,
     flow_img: jnp.ndarray,
+    gray: jnp.ndarray = None,
     max_depth: float = 40.0,
     n_max: int = 2048,
+    patch_radius: int = 2,
 ) -> StaticSamples:
     """Keep keypoints that are off-mask, have 0 < depth <= max_depth, carry
     non-zero flow, and whose flow-shifted position stays inside the image
@@ -136,4 +140,14 @@ def sample_static(
     _, mask, uv_p, d_p, f_p, c_p = compact(
         valid, n_max, kp_uv, depth_kept, f, corres
     )
-    return StaticSamples(uv=uv_p, depth=d_p, flow=f_p, corres=c_p, valid=mask)
+    if gray is None:
+        patch = jnp.zeros((n_max, (2 * patch_radius + 1) ** 2), jnp.float32)
+    else:
+        from multimot_track_tpu.ops import photometric
+
+        # extract after compaction: n_max gathers, not len(kp_uv)
+        patch = photometric.extract_patches(
+            gray.astype(jnp.float32), uv_p, patch_radius
+        )
+    return StaticSamples(uv=uv_p, depth=d_p, flow=f_p, corres=c_p, valid=mask,
+                         patch=patch)

@@ -51,23 +51,20 @@ def frontend_batch(gray_u8, depth_u16, flow_i16, sem_u8, gts, cfg: PipelineConfi
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def track_batch(keys, obs_stack, depth_u16, sem_u8, gts, cfg: PipelineConfig):
+def track_batch(keys, obs_stack, gray_u8, depth_u16, sem_u8, gts, cfg: PipelineConfig):
     """Solve all F-1 pairs at once in last-camera coordinates.
 
-    obs_stack: stacked FrameObservation pytree (F, ...); depth/sem: the
-    raw current-frame images (F, H, W) used for the correspondence handoff.
+    obs_stack: stacked FrameObservation pytree (F, ...); gray/depth/sem: the
+    raw current-frame images (F, H, W) used for the correspondence handoff
+    and photometric flow verification.
     Returns the stacked PairResult (F-1, ...) with Tcw_cur = per-pair
     relative motion T_rel (frame k-1 camera -> frame k camera).
     """
     K = cfg.padding.k_obj_max
     eye = jnp.eye(4)
-    ctx = tracker.TrackContext(
-        Tcw_last=eye,
-        H_prev_by_label=jnp.tile(eye, (K + 1, 1, 1)),
-        H_prev_valid=jnp.zeros(K + 1, bool),
-    )
+    ctx = tracker.initial_context(K)
 
-    def one_pair(key, prev_obs, cur_depth_u16, cur_sem_u8, gt_cur):
+    def one_pair(key, prev_obs, cur_gray_u8, cur_depth_u16, cur_sem_u8, gt_cur):
         # anchor GT to the pair's own last-camera frame so device-side
         # object metrics compare motions in commensurate worlds
         G = se3.inverse(prev_obs.gt.Tcw)           # Twc_gt_last
@@ -79,19 +76,21 @@ def track_batch(keys, obs_stack, depth_u16, sem_u8, gts, cfg: PipelineConfig):
             cur_sem_u8.astype(jnp.int32),
             gt_cur_rel,
             cfg,
+            cur_gray=cur_gray_u8.astype(jnp.float32),
         )
         res = tracker.track_pair(key, pair, ctx, cfg)
         return res._replace(obj_label_map=jnp.zeros((0,), jnp.int32))
 
     prev = jax.tree_util.tree_map(lambda x: x[:-1], obs_stack)
     gt_cur = jax.tree_util.tree_map(lambda x: x[1:], gts)
-    return jax.vmap(one_pair)(keys, prev, depth_u16[1:], sem_u8[1:], gt_cur)
+    return jax.vmap(one_pair)(keys, prev, gray_u8[1:], depth_u16[1:], sem_u8[1:], gt_cur)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def track_batch_packed(keys, obs_stack, depth_u16, sem_u8, gts, cfg: PipelineConfig):
+def track_batch_packed(keys, obs_stack, gray_u8, depth_u16, sem_u8, gts,
+                       cfg: PipelineConfig):
     """track_batch with the result packed to ONE f32 vector (one download)."""
-    res = track_batch(keys, obs_stack, depth_u16, sem_u8, gts, cfg)
+    res = track_batch(keys, obs_stack, gray_u8, depth_u16, sem_u8, gts, cfg)
     return tracker.pack_pytree(res)
 
 
@@ -139,7 +138,8 @@ def run_sequence_batched(
         obs_c = jax.tree_util.tree_map(lambda x: x[c0:c1 + 1], obs)
         gt_c = jax.tree_util.tree_map(lambda x: x[c0:c1 + 1], gt_stack)
         packed_c = track_batch_packed(
-            keys[c0:c1], obs_c, depth_u16[c0:c1 + 1], sem_u8[c0:c1 + 1], gt_c, cfg
+            keys[c0:c1], obs_c, gray_u8[c0:c1 + 1], depth_u16[c0:c1 + 1],
+            sem_u8[c0:c1 + 1], gt_c, cfg
         )
         chunks.append(
             tracker.unpack_pytree(packed_c, batch_result_spec(c1 - c0, cfg))

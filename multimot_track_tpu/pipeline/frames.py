@@ -50,6 +50,8 @@ class PairInputs(NamedTuple):
     st_cur_uv: jnp.ndarray     # (Ns, 2) current position (= uv + flow)
     st_cur_depth: jnp.ndarray  # (Ns,)   current-frame depth at cur position
     st_valid: jnp.ndarray      # (Ns,) bool
+    st_zncc: jnp.ndarray       # (Ns,) photometric flow-verification score:
+    #                             ZNCC(last patch at uv, cur patch at uv+flow)
 
     ob_uv: jnp.ndarray         # (No, 2)
     ob_flow: jnp.ndarray       # (No, 2)
@@ -87,8 +89,9 @@ def build_frame_observation(
         n_total=fe.n_features,
     )
     static = sampling.sample_static(
-        kp.uv, kp.valid, depth, sem_mask, flow,
+        kp.uv, kp.valid, depth, sem_mask, flow, gray,
         max_depth=fe.static_max_depth, n_max=pad.n_static_max,
+        patch_radius=cfg.solver.zncc_patch_radius,
     )
     objects = sampling.sample_dense_objects(
         depth, sem_mask, flow,
@@ -105,6 +108,7 @@ def build_pair(
     cur_sem_mask: jnp.ndarray,
     gt_cur: GTTable,
     cfg: PipelineConfig,
+    cur_gray: jnp.ndarray = None,
 ) -> PairInputs:
     """Correspondence handoff (src/Tracking.cc:487-610).
 
@@ -113,6 +117,9 @@ def build_pair(
     else the -1 sentinel (Tracking.cc:556-566).
     Objects: current depth/label looked up likewise; out-of-bounds points
     get depth 0.1 / label 0 (Tracking.cc:584-592).
+    When ``cur_gray`` is given, each static correspondence additionally gets
+    a photometric verification score (ops/photometric.zncc); without it the
+    score is 1 (everything verifies — the reference's trusting behaviour).
     """
     cam = cfg.camera
     cur_depth = camera.disparity_png_to_depth(cur_depth_raw, cam.bf)
@@ -120,6 +127,16 @@ def build_pair(
     st_cur_uv = last.static.corres
     st_d, st_inb = camera.nearest_sample(cur_depth, st_cur_uv)
     st_cur_depth = jnp.where(st_inb & (st_d > 0), st_d, -1.0)
+
+    if cur_gray is None:
+        st_zncc = jnp.ones(st_cur_uv.shape[0], jnp.float32)
+    else:
+        from multimot_track_tpu.ops import photometric
+
+        cur_patch = photometric.extract_patches(
+            cur_gray.astype(jnp.float32), st_cur_uv, cfg.solver.zncc_patch_radius
+        )
+        st_zncc = photometric.zncc(last.static.patch, cur_patch)
 
     ob_cur_uv = last.objects.corres
     ob_d, ob_inb = camera.nearest_sample(cur_depth, ob_cur_uv)
@@ -134,6 +151,7 @@ def build_pair(
         st_cur_uv=st_cur_uv,
         st_cur_depth=st_cur_depth,
         st_valid=last.static.valid & (last.static.depth > 0),
+        st_zncc=st_zncc,
         ob_uv=last.objects.uv,
         ob_flow=last.objects.flow,
         ob_depth=last.objects.depth,

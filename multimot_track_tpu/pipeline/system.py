@@ -172,12 +172,7 @@ class MultiMotSystem:
         gray, depth, flow, sem = self._compact_images(fd)
         if self._last_obs is None:
             # StereoInitialization (src/Tracking.cc:2502): first pose = I
-            eye = jnp.eye(4)
-            self._ctx = tracker.TrackContext(
-                Tcw_last=eye,
-                H_prev_by_label=jnp.tile(eye, (K + 1, 1, 1)),
-                H_prev_valid=jnp.zeros(K + 1, bool),
-            )
+            self._ctx = tracker.initial_context(K)
             self.map.camera_poses.append(np.eye(4, dtype=np.float32))
             self.map.gt_poses.append(np.asarray(fd.pose_gt, np.float32))
             self.map.timestamps.append(fd.timestamp)
@@ -225,7 +220,7 @@ class MultiMotSystem:
         if self.state == self.STATE_LOST:
             # next_context on device used the diverged pose; rebuild from
             # the fallback so the next pair anchors on it
-            self._ctx = tracker.next_context(result, K)
+            self._ctx = tracker.next_context(result, self._ctx, K)
         else:
             self._ctx = new_ctx
         self._last_obs = obs

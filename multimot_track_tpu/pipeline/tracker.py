@@ -37,6 +37,20 @@ class TrackContext(NamedTuple):
     H_prev_by_label: jnp.ndarray   # (K+1, 4, 4) last frame's world-frame object
     #                                 motion indexed by semantic label (0 unused)
     H_prev_valid: jnp.ndarray      # (K+1,) bool
+    T_velocity: jnp.ndarray        # (4, 4) constant-velocity model (mVelocity,
+    #                                 Tracking.cc:1311-1316): Tcw_last @ inv(prev)
+    velocity_valid: jnp.ndarray    # () bool
+
+
+def initial_context(k_obj_max: int) -> TrackContext:
+    eye = jnp.eye(4)
+    return TrackContext(
+        Tcw_last=eye,
+        H_prev_by_label=jnp.tile(eye, (k_obj_max + 1, 1, 1)),
+        H_prev_valid=jnp.zeros(k_obj_max + 1, bool),
+        T_velocity=eye,
+        velocity_valid=jnp.asarray(False),
+    )
 
 
 class ObjectOutputs(NamedTuple):
@@ -92,16 +106,34 @@ def track_pair(
     k_ego, k_obj = jax.random.split(key)
     Twl = se3.inverse(ctx.Tcw_last)
 
-    # ---------------- ego-motion: RANSAC init + flow-BA ----------------
+    # ---------------- ego-motion: verified points, RANSAC/MM init, --------
+    # ---------------- symmetric forward+backward flow-BA ------------------
+    # photometric gate: drop correspondences whose flow fails verification
+    # (ops/photometric); fall back to the full set when too few survive
+    st_phot = pair.st_valid & (pair.st_zncc > sol.zncc_min)
+    n_phot = jnp.sum(st_phot.astype(jnp.int32))
+    st_solve = jnp.where(n_phot >= sol.min_gated_static, st_phot, pair.st_valid)
+
     Xw_st = se3.transform(Twl, camera.backproject(pair.st_uv, pair.st_depth, fx, fy, cx, cy))
     xyz_cur_st = camera.backproject(pair.st_cur_uv, pair.st_cur_depth, fx, fy, cx, cy)
-    st_pnp_valid = pair.st_valid & (pair.st_cur_depth > 0)
+    st_pnp_valid = st_solve & (pair.st_cur_depth > 0)
     rr = ransac.ransac_rigid_pose(
         k_ego, Xw_st, pair.st_cur_uv, xyz_cur_st, st_pnp_valid,
         fx, fy, cx, cy,
         thresh=sol.ransac_reproj_px, iters=sol.ransac_iters,
         refine_iters=sol.refine_gn_iters,
     )
+    # motion-model init alternative: keep whichever of {RANSAC, propagated
+    # constant-velocity pose} has more inliers (GetInitModelCam,
+    # src/Tracking.cc:4227-4322)
+    MM_cam = ctx.T_velocity @ ctx.Tcw_last
+    _, n_mm_cam = ransac._count_inliers(
+        MM_cam, Xw_st, pair.st_cur_uv, st_pnp_valid, sol.ransac_reproj_px,
+        fx, fy, cx, cy,
+    )
+    use_mm_cam = ctx.velocity_valid & (n_mm_cam > rr.n_inliers)
+    T_init_cam = jnp.where(use_mm_cam, MM_cam, rr.T)
+
     cam_params = FlowBAParams(
         reproj_info=sol.reproj_info,
         prior_info=sol.cam_flow_prior_info,
@@ -110,11 +142,31 @@ def track_pair(
         tau=sol.lm_tau,
     )
     cam_res = solve_flow_ba(
-        rr.T, Twl, pair.st_uv, pair.st_flow, pair.st_depth, pair.st_valid,
+        T_init_cam, Twl, pair.st_uv, pair.st_flow, pair.st_depth, st_solve,
         fx, fy, cx, cy, params=cam_params,
     )
-    n_st = jnp.sum(pair.st_valid.astype(jnp.int32))
-    Tcw_cur = jnp.where(n_st >= 3, cam_res.T, ctx.Tcw_last)
+    T_fwd = cam_res.T
+    if sol.symmetric_cam:
+        # backward solve anchored on the CURRENT frame's depth: world := cur
+        # camera frame, observations at the current positions, flow negated.
+        # Fusing forward and backward cancels first-order per-frame depth
+        # bias (the reference's dormant PoseOptimizationForBack idea,
+        # src/Optimizer.cc:2889, done as two Schur solves + se3 averaging).
+        rel_f = T_fwd @ se3.inverse(ctx.Tcw_last)          # last cam -> cur cam
+        bwd_sub = st_solve & (pair.st_cur_depth > 0)
+        bwd_res = solve_flow_ba(
+            se3.inverse(rel_f), jnp.eye(4, dtype=T_fwd.dtype),
+            pair.st_cur_uv, -pair.st_flow, pair.st_cur_depth, bwd_sub,
+            fx, fy, cx, cy, params=cam_params,
+        )
+        rel_b = se3.inverse(bwd_res.T)                     # last cam -> cur cam
+        xi = 0.5 * (se3.log_se3(rel_f) + se3.log_se3(rel_b))
+        ok_b = (bwd_res.n_inliers >= 10) & jnp.all(jnp.isfinite(xi))
+        T_sym = se3.exp_se3(jnp.where(ok_b, xi, se3.log_se3(rel_f))) @ ctx.Tcw_last
+    else:
+        T_sym = T_fwd
+    n_st = jnp.sum(st_solve.astype(jnp.int32))
+    Tcw_cur = jnp.where(n_st >= 3, T_sym, ctx.Tcw_last)
     Twc_cur = se3.inverse(Tcw_cur)
 
     cam_rpe = metrics.camera_rpe(Tcw_cur, ctx.Tcw_last, pair.gt_cur.Tcw, pair.gt_last.Tcw)
@@ -196,7 +248,7 @@ def track_pair(
         rrk = ransac.ransac_rigid_pose(
             k_rng, Xp_o, cur_uv_o, xyz_o, memb,
             fx, fy, cx, cy,
-            thresh=sol.ransac_reproj_px, iters=sol.obj_ransac_iters,
+            thresh=sol.obj_ransac_reproj_px, iters=sol.obj_ransac_iters,
             refine_iters=sol.refine_gn_iters,
         )
         # motion-model alternative (GetInitModelObj, Tracking.cc:4377-4436)
@@ -204,9 +256,9 @@ def track_pair(
         has_prev = ctx.H_prev_valid[mode_lab]
         MM = Tcw_cur @ H_prev
         inl_mm, n_mm = ransac._count_inliers(
-            MM, Xp_o, cur_uv_o, memb, sol.ransac_reproj_px, fx, fy, cx, cy
+            MM, Xp_o, cur_uv_o, memb, sol.obj_ransac_reproj_px, fx, fy, cx, cy
         )
-        use_mm = has_prev & (n_mm >= rrk.n_inliers)
+        use_mm = has_prev & (n_mm >= rrk.n_inliers) & sol.obj_motion_model_init
         T_init = jnp.where(use_mm, MM, rrk.T)
         subset = jnp.where(use_mm, inl_mm, rrk.inliers)
         n_subset = jnp.sum(subset.astype(jnp.int32))
@@ -215,6 +267,20 @@ def track_pair(
             T_init, Twl, uv_o, flow_o, depth_o, subset,
             fx, fy, cx, cy, params=obj_params,
         )
+        # redescending re-classification: re-gate ALL member points by the
+        # solver's chi2 and re-solve — the batched analog of g2o's
+        # per-round outlier levels (Optimizer.cc:2296-2360); recovers the
+        # inliers a clustered init subset misses (tools/diag_obj.py)
+        for _ in range(sol.obj_reclassify_rounds):
+            regate = memb & (res.chi2 <= sol.obj_rp_thres)
+            n_re = jnp.sum(regate.astype(jnp.int32))
+            res2 = solve_flow_ba(
+                res.T, Twl, uv_o, flow_o, depth_o, regate,
+                fx, fy, cx, cy, params=obj_params,
+            )
+            res = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(n_re >= 10, a, b), res2, res
+            )
         P = jnp.where(n_subset >= 3, res.T, jnp.eye(4, dtype=res.T.dtype))
         H_world = se3.inverse(Tcw_cur) @ P                  # vObjMod (Tracking.cc:2129)
         sw = subset.astype(jnp.float32)
@@ -377,9 +443,9 @@ def full_step(
     flow = flow_i16.astype(jnp.float32) * (1.0 / 128.0)
     sem = sem_u8.astype(jnp.int32)
     obs = F.build_frame_observation(gray, depth_raw, flow, sem, gt_cur, cfg)
-    pair = F.build_pair(prev_obs, depth_raw, sem, gt_cur, cfg)
+    pair = F.build_pair(prev_obs, depth_raw, sem, gt_cur, cfg, cur_gray=gray)
     result = track_pair(key, pair, ctx, cfg)
-    new_ctx = next_context(result, cfg.padding.k_obj_max)
+    new_ctx = next_context(result, ctx, cfg.padding.k_obj_max)
     # the per-point label map (tens of KB) stays on device: the host loop
     # only consumes the small fields, and device->host bandwidth through
     # the tunnel is the bottleneck (~0.05 MB/s measured); the rest ships
@@ -433,14 +499,18 @@ def light_result_spec(cfg: PipelineConfig):
     )
 
 
-def next_context(result: PairResult, k_obj_max: int) -> TrackContext:
+def next_context(result: PairResult, prev: TrackContext, k_obj_max: int) -> TrackContext:
     """Fold a pair's outputs into the context for the next pair: current
     per-label motions become next frame's motion models (keyed by current
-    semantic label, which is next pair's 'last own label' space)."""
+    semantic label, which is next pair's 'last own label' space), and the
+    pair's relative motion becomes the constant-velocity model (mVelocity
+    update, src/Tracking.cc:1311-1316)."""
     K = k_obj_max
     H_by = jnp.tile(jnp.eye(4, dtype=result.Tcw_cur.dtype), (K + 1, 1, 1))
     H_by = H_by.at[1:].set(result.objects.H)
     valid = jnp.zeros(K + 1, bool).at[1:].set(result.objects.active)
+    vel = result.Tcw_cur @ se3.inverse(prev.Tcw_last)
     return TrackContext(
-        Tcw_last=result.Tcw_cur, H_prev_by_label=H_by, H_prev_valid=valid
+        Tcw_last=result.Tcw_cur, H_prev_by_label=H_by, H_prev_valid=valid,
+        T_velocity=vel, velocity_valid=jnp.asarray(True),
     )
