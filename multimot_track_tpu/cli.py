@@ -29,6 +29,19 @@ def main(argv=None):
         "--stereo", action="store_true",
         help="sequence has image_2/image_3 stereo pairs instead of depth/",
     )
+    ap.add_argument(
+        "--no-loop-closing", action="store_true",
+        help="disable keyframe loop detection + pose-graph correction",
+    )
+    ap.add_argument(
+        "--no-keyframes", action="store_true",
+        help="disable the keyframe store (also disables loop closing/reloc)",
+    )
+    ap.add_argument("--keyframe-gap", type=int, default=5)
+    ap.add_argument(
+        "--no-estimate-flow", action="store_true",
+        help="do not estimate dense flow when .flo files are missing",
+    )
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -54,8 +67,15 @@ def main(argv=None):
         seq = StereoKittiSequence(args.sequence)
     else:
         seq = get_sequence(args.sequence)
+    if args.no_estimate_flow and hasattr(seq, "estimate_flow"):
+        seq.estimate_flow = False
     n = len(seq) if args.frames is None else min(args.frames, len(seq))
-    sys_ = MultiMotSystem(cfg)
+    sys_ = MultiMotSystem(
+        cfg,
+        enable_keyframes=not args.no_keyframes,
+        keyframe_gap=args.keyframe_gap,
+        enable_loop_closing=not args.no_loop_closing,
+    )
     out = pathlib.Path(args.out) if args.out else None
     if out:
         out.mkdir(parents=True, exist_ok=True)

@@ -135,12 +135,31 @@ class SegmentationConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class BackendConfig:
+    """Live map-maintenance: trailing-window BA (LocalMapping role,
+    src/LocalMapping.cc:48 + src/Optimizer.cc:3341)."""
+
+    window_refine: bool = True      # run windowed BA inside the system loop
+    window_size: int = 5            # frames per trailing window
+    n_window_tracks: int = 2048     # keypoints chained from window frame 0
+    window_ba_iters: int = 30
+    min_window_tracks: int = 50     # skip the update below this survival
+    # appearance changes over a 5-frame window, so the per-link photometric
+    # gate is looser than the pairwise one (solver.zncc_min)
+    window_zncc_min: float = 0.7
+    # se(3) information of the online per-pair poses fused as odometry
+    # prior edges (solvers/window_ba.WindowBAParams.odo_prior_weight)
+    odo_prior_weight: float = 2500.0
+
+
+@dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
     frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
     padding: PaddingConfig = dataclasses.field(default_factory=PaddingConfig)
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     segmentation: SegmentationConfig = dataclasses.field(default_factory=SegmentationConfig)
+    backend: BackendConfig = dataclasses.field(default_factory=BackendConfig)
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

@@ -119,6 +119,18 @@ def make_T(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def adjoint(T: jnp.ndarray) -> jnp.ndarray:
+    """SE(3) adjoint for the (omega, upsilon) tangent ordering:
+    Ad(T) = [[R, 0], [hat(t) R, R]]  (6, 6); satisfies
+    T exp(xi) T^-1 = exp(Ad(T) xi)."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    z = jnp.zeros(T.shape[:-2] + (3, 3), T.dtype)
+    top = jnp.concatenate([R, z], axis=-1)
+    bottom = jnp.concatenate([hat(t) @ R, R], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def inverse(T: jnp.ndarray) -> jnp.ndarray:
     """Rigid inverse (reference Tracking::InvMatrix, src/Tracking.cc:5106)."""
     R = T[..., :3, :3]

@@ -100,11 +100,20 @@ def obj_pose_row_to_T(row: np.ndarray) -> np.ndarray:
 
 
 class KittiSequence:
-    """Lazy per-frame loader over a sequence directory."""
+    """Lazy per-frame loader over a sequence directory.
 
-    def __init__(self, root, max_label: int = 4):
+    Unlike the reference driver, which aborts without precomputed .flo
+    files (Examples/RGB-D/rgbd_tum.cc:129 hard-requires them), a missing
+    flow file falls back to on-device dense optical flow
+    (frontend/optical_flow.dense_flow) when ``estimate_flow`` is set —
+    the framework is self-contained on images+depth alone.
+    """
+
+    def __init__(self, root, max_label: int = 4, estimate_flow: bool = True):
         self.root = pathlib.Path(root)
         self.max_label = max_label
+        self.estimate_flow = estimate_flow
+        self.n_flow_estimated = 0
         times = self.root / "times.txt"
         self.timestamps = (
             [float(s.split()[0]) for s in times.read_text().splitlines() if s.strip()]
@@ -130,13 +139,31 @@ class KittiSequence:
             "semantic": self.root / "semantic" / f"{stem}.txt",
         }
 
+    def _load_gray(self, i: int) -> np.ndarray:
+        return _rgb_to_gray(np.asarray(Image.open(self.frame_paths(i)["image"])))
+
+    def _flow_or_estimate(self, i: int, gray: np.ndarray) -> np.ndarray:
+        """Read .flo if present, else estimate k -> k+1 flow on device."""
+        p = self.frame_paths(i)
+        if p["flow"].exists():
+            return read_flo(p["flow"])
+        if self.estimate_flow and i + 1 < self.n_frames:
+            import jax.numpy as jnp
+
+            from multimot_track_tpu.frontend.optical_flow import dense_flow
+
+            nxt = self._load_gray(i + 1)
+            self.n_flow_estimated += 1
+            return np.asarray(dense_flow(jnp.asarray(gray), jnp.asarray(nxt)))
+        return np.zeros(gray.shape + (2,), np.float32)
+
     def load_frame(self, i: int) -> FrameData:
         p = self.frame_paths(i)
         img = np.asarray(Image.open(p["image"]))
         gray = _rgb_to_gray(img)
         depth_raw = np.asarray(Image.open(p["depth"])).astype(np.float32)
         H, W = gray.shape
-        flow = read_flo(p["flow"]) if p["flow"].exists() else np.zeros((H, W, 2), np.float32)
+        flow = self._flow_or_estimate(i, gray)
         sem = load_mask_txt(p["semantic"], H, W, self.max_label)
         rows = self.obj_rows.get(i, [])
         obj_ids = np.asarray([int(r[1]) for r in rows], np.int32)

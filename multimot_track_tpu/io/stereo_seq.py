@@ -52,11 +52,7 @@ class StereoKittiSequence(kitti.KittiSequence):
         )
         depth_raw = np.asarray(stereo.disparity_to_depth_raw(disp))
         H, W = left.shape
-        flow = (
-            kitti.read_flo(p["flow"])
-            if p["flow"].exists()
-            else np.zeros((H, W, 2), np.float32)
-        )
+        flow = self._flow_or_estimate(i, left)
         sem = (
             kitti.load_mask_txt(p["semantic"], H, W, self.max_label)
             if p["semantic"].exists()

@@ -74,12 +74,22 @@ def build_frame_observation(
     sem_mask: jnp.ndarray,
     gt: GTTable,
     cfg: PipelineConfig,
+    noise_key: jnp.ndarray = None,
 ) -> FrameObservation:
-    """Run the frontend on one frame's images (device-side)."""
+    """Run the frontend on one frame's images (device-side).
+
+    When ``cfg.solver.depth_noise`` is set (and a key is given), Gaussian
+    noise sigma = z^2/(725*0.5)*scale is injected into the depth image —
+    the reference's synthetic robustness-study mechanism
+    (src/Frame.cc:1089)."""
     cam = cfg.camera
     fe = cfg.frontend
     pad = cfg.padding
     depth = camera.disparity_png_to_depth(depth_raw, cam.bf)
+    if cfg.solver.depth_noise and noise_key is not None:
+        sigma = depth * depth / (725.0 * 0.5) * cfg.solver.depth_noise_scale
+        noise = sigma * jax.random.normal(noise_key, depth.shape, depth.dtype)
+        depth = jnp.where(depth > 0, jnp.maximum(depth + noise, 1e-3), depth)
     kp = fast.detect_pyramid(
         gray,
         threshold=float(fe.fast_threshold),

@@ -53,6 +53,9 @@ class MapState:
     """Evaluation stores (reference Map, include/Map.h:69-90)."""
 
     camera_poses: List[np.ndarray] = dataclasses.field(default_factory=list)  # Twc, vmCameraPose_main
+    # pre-refinement (online frame-to-frame) trajectory, for comparison —
+    # the reference's vmCameraPose_orb/main split has the same purpose
+    camera_poses_raw: List[np.ndarray] = dataclasses.field(default_factory=list)
     gt_poses: List[np.ndarray] = dataclasses.field(default_factory=list)       # Twc ground truth
     timestamps: List[float] = dataclasses.field(default_factory=list)
     cam_rpe_abs: List[np.ndarray] = dataclasses.field(default_factory=list)   # vvCamMotErr_1
@@ -61,6 +64,8 @@ class MapState:
     tot_obj_num: List[int] = dataclasses.field(default_factory=list)          # vTotObjNum
     flow_hists: List[np.ndarray] = dataclasses.field(default_factory=list)
     frame_times: List[float] = dataclasses.field(default_factory=list)
+    # accepted loop closures: (frame, matched keyframe frame, sim3 inliers)
+    loop_events: List[tuple] = dataclasses.field(default_factory=list)
 
 
 class MultiMotSystem:
@@ -80,7 +85,9 @@ class MultiMotSystem:
 
     def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG, seed: int = 0,
                  min_inliers: int = 10, max_lost_frames: int = 5,
-                 enable_keyframes: bool = False, keyframe_gap: int = 5):
+                 enable_keyframes: bool = True, keyframe_gap: int = 5,
+                 enable_loop_closing: bool = True, loop_min_matches: int = 40,
+                 loop_min_kf_separation: int = 3):
         self.cfg = cfg
         self.key = jax.random.PRNGKey(seed)
         self.map = MapState()
@@ -96,9 +103,15 @@ class MultiMotSystem:
         self._lost_streak = 0
         self._velocity = np.eye(4, dtype=np.float32)  # mVelocity analog
         self._result_spec = None
-        # optional keyframe store: place recognition + relocalization on
-        # LOST (Tracking::Relocalization ladder) and loop-closing hooks
+        self._win: List[dict] = []   # trailing window device tensors
+        # keyframe store (on by default, like the reference's always-running
+        # LocalMapping/LoopClosing threads, src/System.cc:92-97): place
+        # recognition + relocalization on LOST + loop closing per keyframe
         self.enable_keyframes = enable_keyframes
+        self.enable_loop_closing = enable_loop_closing and enable_keyframes
+        self.loop_min_matches = loop_min_matches
+        self.loop_min_kf_separation = loop_min_kf_separation
+        self._kf_to_traj: List[int] = []   # trajectory row of each stored KF
         if enable_keyframes:
             from multimot_track_tpu.pipeline.keyframes import KeyframeStore
 
@@ -108,7 +121,16 @@ class MultiMotSystem:
 
     # ------------------------------------------------------------------
     def reset(self):
-        self.__init__(self.cfg)
+        self.__init__(
+            self.cfg,
+            min_inliers=self.min_inliers,
+            max_lost_frames=self.max_lost_frames,
+            enable_keyframes=self.enable_keyframes,
+            keyframe_gap=self.keyframes.min_gap if self.keyframes else 5,
+            enable_loop_closing=self.enable_loop_closing,
+            loop_min_matches=self.loop_min_matches,
+            loop_min_kf_separation=self.loop_min_kf_separation,
+        )
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, path):
@@ -170,13 +192,23 @@ class MultiMotSystem:
         K = cfg.padding.k_obj_max
         gt = F.make_gt_table(fd.pose_gt, fd.obj_ids_gt, fd.obj_poses_gt, K)
         gray, depth, flow, sem = self._compact_images(fd)
+        # device handles (uploaded once; full_step and the window refiner
+        # share the buffers — no duplicate transfers)
+        gray, depth, flow, sem = (
+            jnp.asarray(gray), jnp.asarray(depth), jnp.asarray(flow), jnp.asarray(sem)
+        )
         if self._last_obs is None:
             # StereoInitialization (src/Tracking.cc:2502): first pose = I
             self._ctx = tracker.initial_context(K)
             self.map.camera_poses.append(np.eye(4, dtype=np.float32))
+            self.map.camera_poses_raw.append(np.eye(4, dtype=np.float32))
             self.map.gt_poses.append(np.asarray(fd.pose_gt, np.float32))
             self.map.timestamps.append(fd.timestamp)
-            self._last_obs = tracker.first_step(gray, depth, flow, sem, gt, cfg)
+            self._last_obs = tracker.first_step(
+                gray, depth, flow, sem, gt, cfg,
+                noise_key=jax.random.fold_in(self.key, 0),
+            )
+            self._push_window(gray, depth, flow, sem, 0)
             self._frame_idx += 1
             self.map.frame_times.append(time.perf_counter() - t0)
             return None
@@ -213,10 +245,31 @@ class MultiMotSystem:
             self._lost_streak = 0
             self._velocity = np.asarray(result.Tcw_cur) @ np.linalg.inv(Tcw_last)
 
-        if self.enable_keyframes and self.state == self.STATE_OK:
-            self._maybe_add_keyframe(fd, np.asarray(result.Tcw_cur))
-
         self._record(result, fd)
+        self._push_window(gray, depth, flow, sem, len(self.map.camera_poses) - 1)
+        if cfg.backend.window_refine and self.state == self.STATE_OK:
+            refined_last = self._refine_window()
+            if refined_last is not None:
+                result = result._replace(Tcw_cur=jnp.asarray(refined_last))
+                new_ctx = new_ctx._replace(Tcw_last=jnp.asarray(refined_last))
+                if len(self.map.camera_poses) >= 2:
+                    # Tcw_cur @ Twc_prev (camera_poses stores Twc)
+                    self._velocity = (
+                        refined_last @ self.map.camera_poses[-2]
+                    ).astype(np.float32)
+                    new_ctx = new_ctx._replace(T_velocity=jnp.asarray(self._velocity))
+        if self.enable_keyframes and self.state == self.STATE_OK:
+            # after _record so the keyframe's trajectory row exists; a
+            # successful loop closure rewrites the recorded trajectory
+            added = self._maybe_add_keyframe(fd, np.asarray(result.Tcw_cur))
+            if added and self.enable_loop_closing:
+                corrected_last = self._maybe_close_loop(step_key)
+                if corrected_last is not None:
+                    result = result._replace(Tcw_cur=jnp.asarray(corrected_last))
+                    new_ctx = new_ctx._replace(
+                        Tcw_last=jnp.asarray(corrected_last),
+                        T_velocity=jnp.asarray(self._velocity),
+                    )
         if self.state == self.STATE_LOST:
             # next_context on device used the diverged pose; rebuild from
             # the fallback so the next pair anchors on it
@@ -246,14 +299,14 @@ class MultiMotSystem:
         valid = kp.valid & (z > 0) & (z < 60.0)
         return kp.uv, desc, valid, z
 
-    def _maybe_add_keyframe(self, fd: FrameData, Tcw: np.ndarray):
+    def _maybe_add_keyframe(self, fd: FrameData, Tcw: np.ndarray) -> bool:
         from multimot_track_tpu.pipeline.keyframes import Keyframe
 
         if self.keyframes.frames and (
             self._frame_idx - self.keyframes.frames[-1].index
             < self.keyframes.min_gap
         ):
-            return
+            return False
         cam = self.cfg.camera
         uv, desc, valid, z = self._describe_frame(fd)
         from multimot_track_tpu.geometry import camera as cam_g
@@ -261,7 +314,7 @@ class MultiMotSystem:
         Xc = np.asarray(cam_g.backproject(uv, z, cam.fx, cam.fy, cam.cx, cam.cy))
         Twc = np.linalg.inv(Tcw)
         Xw = (Twc[:3, :3] @ Xc.T).T + Twc[:3, 3]
-        self.keyframes.maybe_add(
+        added = self.keyframes.maybe_add(
             Keyframe(
                 index=self._frame_idx,
                 Tcw=Tcw.astype(np.float32),
@@ -271,6 +324,100 @@ class MultiMotSystem:
                 Xw=Xw.astype(np.float32),
             )
         )
+        if added:
+            # trajectory row of this frame (just recorded by _record)
+            self._kf_to_traj.append(len(self.map.camera_poses) - 1)
+            while len(self._kf_to_traj) > len(self.keyframes.frames):
+                self._kf_to_traj.pop(0)   # store evicted its oldest
+        return added
+
+    def _push_window(self, gray, depth, flow, sem, traj_row: int):
+        """Keep the trailing window's device tensors for the refiner."""
+        if not self.cfg.backend.window_refine:
+            return
+        self._win.append(
+            {"gray": gray, "depth": depth, "flow": flow, "sem": sem, "row": traj_row}
+        )
+        if len(self._win) > self.cfg.backend.window_size:
+            self._win.pop(0)
+
+    def _refine_window(self) -> Optional[np.ndarray]:
+        """Trailing-window BA over the buffered frames (LocalMapping role).
+
+        Rewrites the refined rows of ``map.camera_poses`` (anchored at the
+        window's first frame) and returns the refined current Tcw."""
+        from multimot_track_tpu.pipeline import window_refine
+
+        be = self.cfg.backend
+        if len(self._win) < be.window_size:
+            return None
+        rows = [w["row"] for w in self._win]
+        Tcw_abs = [
+            np.linalg.inv(self.map.camera_poses[r]).astype(np.float32) for r in rows
+        ]
+        Twc0 = np.linalg.inv(Tcw_abs[0]).astype(np.float32)
+        poses_rel = np.stack([T @ Twc0 for T in Tcw_abs])
+        flows = jnp.stack([w["flow"] for w in self._win[:-1]])
+        sems = jnp.stack([w["sem"] for w in self._win])
+        grays = jnp.stack([w["gray"] for w in self._win])
+        poses_out, n_live = window_refine.refine_trailing_window(
+            jnp.asarray(poses_rel),
+            grays, self._win[0]["depth"], flows, sems, self.cfg,
+        )
+        if int(n_live) < be.min_window_tracks:
+            return None
+        poses_out = np.asarray(poses_out)
+        if not np.isfinite(poses_out).all():
+            return None
+        for f, r in enumerate(rows):
+            Tcw_new = (poses_out[f] @ Tcw_abs[0]).astype(np.float32)
+            self.map.camera_poses[r] = np.linalg.inv(Tcw_new).astype(np.float32)
+        return (poses_out[-1] @ Tcw_abs[0]).astype(np.float32)
+
+    def _maybe_close_loop(self, key) -> Optional[np.ndarray]:
+        """Loop detection + Sim3 verification + pose-graph correction on the
+        newest keyframe (the reference's LoopClosing::Run cycle,
+        src/LoopClosing.cc:58-647, run synchronously at keyframe cadence).
+
+        Returns the corrected current Tcw when a loop is accepted."""
+        import jax.numpy as jnp
+
+        kf = self.keyframes.frames[-1]
+        cand = self.keyframes.detect_loop(
+            jnp.asarray(kf.desc), jnp.asarray(kf.valid),
+            min_matches=self.loop_min_matches,
+        )
+        if cand is None:
+            return None
+        # temporal guard: candidates too close in time are not loops
+        if len(self.keyframes.frames) - 1 - cand < self.loop_min_kf_separation:
+            return None
+        cam = self.cfg.camera
+        traj_Tcw = np.stack(
+            [np.linalg.inv(p).astype(np.float32) for p in self.map.camera_poses]
+        )
+        corrected, n_inl = self.keyframes.close_loop(
+            key, kf, cand, traj_Tcw, self._kf_to_traj,
+            cam.fx, cam.fy, cam.cx, cam.cy,
+        )
+        if n_inl == 0:
+            return None
+        corrected = np.asarray(corrected)
+        self.map.camera_poses = [
+            np.linalg.inv(T).astype(np.float32) for T in corrected
+        ]
+        # keyframe poses follow their trajectory rows (CorrectLoop's
+        # keyframe pose update, src/LoopClosing.cc:460-520)
+        for j, kfj in enumerate(self.keyframes.frames):
+            kfj.Tcw = corrected[self._kf_to_traj[j]].astype(np.float32)
+        if len(corrected) >= 2:
+            self._velocity = (
+                corrected[-1] @ np.linalg.inv(corrected[-2])
+            ).astype(np.float32)
+        self.map.loop_events.append(
+            (self._frame_idx, self.keyframes.frames[cand].index, n_inl)
+        )
+        return corrected[-1]
 
     def _try_relocalize(self, fd: FrameData, key):
         if not self.enable_keyframes or not (self.keyframes and self.keyframes.frames):
@@ -286,6 +433,7 @@ class MultiMotSystem:
         m = self.map
         Twc = np.linalg.inv(np.asarray(r.Tcw_cur))
         m.camera_poses.append(Twc.astype(np.float32))
+        m.camera_poses_raw.append(Twc.astype(np.float32))
         m.gt_poses.append(np.asarray(fd.pose_gt, np.float32))
         m.timestamps.append(fd.timestamp)
         m.cam_rpe_abs.append(np.asarray([float(r.cam_t_rpe), float(r.cam_r_rpe)]))
@@ -348,29 +496,56 @@ class MultiMotSystem:
             "obj_r_rpe_rel_mean": float(np.mean([o.r_rpe_rel for o in objs])) if objs else None,
             "obj_speed_err_rel_mean": float(np.mean([o.speed_err_rel for o in objs])) if objs else None,
             "n_obj_estimates": len(m.obj_records),
+            "n_loop_closures": len(m.loop_events),
             "ego_ate_rmse_m": self.ate(),
+            "ego_ate_rmse_raw_m": self.ate(raw=True),
+            "cam_t_rpe_refined_mean": self.refined_pair_rpe(),
             "mean_frame_time_s": float(np.mean(m.frame_times)) if m.frame_times else None,
             "median_frame_time_s": float(np.median(m.frame_times)) if m.frame_times else None,
         }
 
-    def ate(self):
+    def ate(self, raw: bool = False):
         """Ego ATE-RMSE vs ground truth after rigid alignment (BASELINE
-        metric alongside the per-frame RPE)."""
+        metric alongside the per-frame RPE).  ``raw=True`` evaluates the
+        online frame-to-frame trajectory before backend refinement."""
         import jax.numpy as jnp
 
         from multimot_track_tpu.eval.metrics import absolute_trajectory_error
 
         m = self.map
-        if len(m.camera_poses) < 2 or len(m.gt_poses) != len(m.camera_poses):
+        poses = m.camera_poses_raw if raw else m.camera_poses
+        if len(poses) < 2 or len(m.gt_poses) != len(poses):
             return None
         # disk GT is camera-to-world relative to its own origin; normalise
         # both trajectories to start at identity
-        est = np.stack(m.camera_poses)
+        est = np.stack(poses)
         gt = np.stack(m.gt_poses)
         gt0_inv = np.linalg.inv(gt[0])
         gt = np.einsum("ij,njk->nik", gt0_inv, gt)
         rmse, _ = absolute_trajectory_error(jnp.asarray(est), jnp.asarray(gt))
         return float(rmse)
+
+    def refined_pair_rpe(self):
+        """Per-pair camera t-RPE recomputed from the refined trajectory
+        (None when refinement never ran or GT is missing)."""
+        from multimot_track_tpu.eval import metrics as M
+
+        m = self.map
+        if len(m.camera_poses) < 2 or len(m.gt_poses) != len(m.camera_poses):
+            return None
+        out = []
+        for k in range(len(m.camera_poses) - 1):
+            Tcw_c = np.linalg.inv(m.camera_poses[k + 1])
+            Tcw_l = np.linalg.inv(m.camera_poses[k])
+            g_c = np.linalg.inv(m.gt_poses[k + 1])
+            g_l = np.linalg.inv(m.gt_poses[k])
+            r = M.camera_rpe(
+                jnp.asarray(Tcw_c), jnp.asarray(Tcw_l),
+                jnp.asarray(g_c), jnp.asarray(g_l),
+            )
+            out.append(float(r.t_rel))
+        out = [v for v in out if np.isfinite(v)]
+        return float(np.mean(out)) if out else None
 
     # ------------------------------------------------------------------
     def save_trajectory_kitti(self, path):

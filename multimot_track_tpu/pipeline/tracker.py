@@ -405,7 +405,8 @@ def unpack_pytree(flat, like):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def first_step(gray_u8, depth_raw_u16, flow_i16, sem_u8, gt, cfg: PipelineConfig):
+def first_step(gray_u8, depth_raw_u16, flow_i16, sem_u8, gt, cfg: PipelineConfig,
+               noise_key=None):
     """Frame-0 frontend only (StereoInitialization role)."""
     from multimot_track_tpu.pipeline import frames as F
 
@@ -413,7 +414,8 @@ def first_step(gray_u8, depth_raw_u16, flow_i16, sem_u8, gt, cfg: PipelineConfig
     depth_raw = depth_raw_u16.astype(jnp.float32)
     flow = flow_i16.astype(jnp.float32) * (1.0 / 128.0)
     sem = sem_u8.astype(jnp.int32)
-    return F.build_frame_observation(gray, depth_raw, flow, sem, gt, cfg)
+    return F.build_frame_observation(gray, depth_raw, flow, sem, gt, cfg,
+                                     noise_key=noise_key)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -442,7 +444,12 @@ def full_step(
     depth_raw = depth_raw_u16.astype(jnp.float32)
     flow = flow_i16.astype(jnp.float32) * (1.0 / 128.0)
     sem = sem_u8.astype(jnp.int32)
-    obs = F.build_frame_observation(gray, depth_raw, flow, sem, gt_cur, cfg)
+    if cfg.solver.depth_noise:   # static: default stream untouched
+        k_noise, key = jax.random.split(key)
+    else:
+        k_noise = None
+    obs = F.build_frame_observation(gray, depth_raw, flow, sem, gt_cur, cfg,
+                                    noise_key=k_noise)
     pair = F.build_pair(prev_obs, depth_raw, sem, gt_cur, cfg, cur_gray=gray)
     result = track_pair(key, pair, ctx, cfg)
     new_ctx = next_context(result, ctx, cfg.padding.k_obj_max)

@@ -42,6 +42,12 @@ class WindowBAParams(NamedTuple):
     # trusted (it visibly biases poses when they are not).
     depth_prior_sigma: float = 2e-2
     tau: float = 1e-4
+    # odometry fusion: se(3) prior on each consecutive relative pose,
+    # measured from ``poses_init`` (the online per-pair solves).  The
+    # chained-flow observations then *correct* rather than replace the
+    # pairwise estimates — LocalBA as a fusion, not a re-solve.  0 = off.
+    # Units: information = 1/sigma^2 on the mixed (rad, m) tangent.
+    odo_prior_weight: float = 0.0
 
 
 class WindowBAResult(NamedTuple):
@@ -73,6 +79,22 @@ def solve_window_ba(
 
     # ray direction per track: X(rho) = dir / rho
     dirs = camera.backproject(uv0, jnp.ones_like(depth0), fx, fy, cx, cy)  # (N, 3)
+
+    # odometry prior edges: measured relative poses from poses_init
+    w_odo = p.odo_prior_weight
+    Z_odo = jax.vmap(lambda a, b: a @ se3.inverse(b))(
+        poses_init[1:], poses_init[:-1]
+    )                                              # (F-1, 4, 4)
+    Ad_Z = jax.vmap(se3.adjoint)(Z_odo)            # (F-1, 6, 6)
+
+    def odo_residuals(T_stack):
+        T_prev = jnp.concatenate(
+            [jnp.eye(4, dtype=T_stack.dtype)[None], T_stack[:-1]], axis=0
+        )
+        M = jax.vmap(lambda a, b, z: a @ se3.inverse(b) @ se3.inverse(z))(
+            T_stack, T_prev, Z_odo
+        )
+        return jax.vmap(se3.log_se3)(M)            # (F-1, 6)
 
     def unpack(T_stack):
         return T_stack  # (F-1, 4, 4)
@@ -125,7 +147,11 @@ def solve_window_ba(
         d2 = p.huber_px ** 2
         rob = jnp.where(rn2 <= d2, rn2, 2.0 * p.huber_px * jnp.sqrt(jnp.maximum(rn2, 1e-20)) - d2)
         prior = w_prior * (rho - rho0) ** 2
-        return jnp.sum(jnp.where(vis, rob, 0.0)) + jnp.sum(jnp.where(valid0, prior, 0.0))
+        F_pts = jnp.sum(jnp.where(vis, rob, 0.0)) + jnp.sum(jnp.where(valid0, prior, 0.0))
+        if w_odo > 0.0:
+            r_o = odo_residuals(T_stack)
+            F_pts = F_pts + w_odo * jnp.sum(r_o * r_o)
+        return F_pts
 
     T0 = poses_init[1:]
     F0 = objective(T0, rho0)
@@ -145,6 +171,23 @@ def solve_window_ba(
         Bh = B / h_r[:, None, None]                               # (N, F-1, 6)
         H = H - jnp.einsum("nfa,ngb->fgab", Bh, B)
         g = g_f - jnp.einsum("nfa,n->fa", Bh, g_r)
+        if w_odo > 0.0:
+            # edge e couples poses (e-1, e); cur-side Jacobian ~ I, prev-side
+            # ~ -Ad(Z_e) (left-multiplicative perturbation, see se3.adjoint)
+            r_o = odo_residuals(T_stack)                          # (F-1, 6)
+            H = H.at[idx, idx].add(w_odo * jnp.eye(6)[None])
+            g = g + w_odo * r_o
+            if F > 2:
+                A2 = Ad_Z[1:]                                     # (F-2, 6, 6)
+                AtA = jnp.einsum("eca,ecb->eab", A2, A2)
+                H = H.at[idx[:-1], idx[:-1]].add(w_odo * AtA)
+                H = H.at[idx[1:], idx[:-1]].add(-w_odo * A2)
+                H = H.at[idx[:-1], idx[1:]].add(
+                    -w_odo * jnp.swapaxes(A2, -1, -2)
+                )
+                g = g.at[:-1].add(
+                    -w_odo * jnp.einsum("eca,ec->ea", A2, r_o[1:])
+                )
         Hd = H.transpose(0, 2, 1, 3).reshape(D, D)
         gd = g.reshape(D)
         # gradient of objective wrt xi is J^T W r where here J = dr/dxi and
