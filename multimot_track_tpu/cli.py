@@ -42,6 +42,11 @@ def main(argv=None):
         "--no-estimate-flow", action="store_true",
         help="do not estimate dense flow when .flo files are missing",
     )
+    ap.add_argument(
+        "--discover-objects", action="store_true",
+        help="mask-free mode: synthesize instance masks from motion "
+             "segmentation instead of reading semantic/",
+    )
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -75,6 +80,7 @@ def main(argv=None):
         enable_keyframes=not args.no_keyframes,
         keyframe_gap=args.keyframe_gap,
         enable_loop_closing=not args.no_loop_closing,
+        discover_objects=args.discover_objects,
     )
     out = pathlib.Path(args.out) if args.out else None
     if out:

@@ -116,6 +116,17 @@ class SolverConfig:
     # reference has the same idea dormant as PoseOptimizationForBack
     # (src/Optimizer.cc:2889) ---
     symmetric_cam: bool = True
+    # --- scene-flow reclassification of the static set: after the first
+    # camera solve, drop 'static' points whose 3-D scene flow exceeds
+    # sf_cam_gate + sf_cam_depth_coeff * z^2 (metres, x-z norm like the
+    # object classifier, Tracking.cc:1463) and re-solve.  The z^2 term
+    # absorbs disparity noise (delta_z = z^2/bf * delta_d), so only points
+    # moving beyond their depth-noise band are dropped.  0 = off.
+    # Essential in mask-free mode, where moving-object points pass the
+    # photometric gate (their flow is genuinely correct — for the object)
+    # and contaminate the ego solve. ---
+    sf_cam_gate: float = 0.0
+    sf_cam_depth_coeff: float = 0.002
     # --- synthetic depth-noise injection (Frame.cc:1089, testing mechanism) ---
     depth_noise: bool = False       # sigma = z^2/(725*0.5)*scale when enabled
     depth_noise_scale: float = 0.15

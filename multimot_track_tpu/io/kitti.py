@@ -164,7 +164,14 @@ class KittiSequence:
         depth_raw = np.asarray(Image.open(p["depth"])).astype(np.float32)
         H, W = gray.shape
         flow = self._flow_or_estimate(i, gray)
-        sem = load_mask_txt(p["semantic"], H, W, self.max_label)
+        # missing masks degrade to background-only (pair with the system's
+        # discover_objects mode for mask-free tracking); the reference
+        # aborts instead (rgbd_tum.cc:316)
+        sem = (
+            load_mask_txt(p["semantic"], H, W, self.max_label)
+            if p["semantic"].exists()
+            else np.zeros((H, W), np.int32)
+        )
         rows = self.obj_rows.get(i, [])
         obj_ids = np.asarray([int(r[1]) for r in rows], np.int32)
         obj_poses = (

@@ -29,6 +29,7 @@ from multimot_track_tpu.ops import graphcut
 
 class DiscoveredObjects(NamedTuple):
     uv: jnp.ndarray        # (N, 2) grid points (last frame)
+    uv_cur: jnp.ndarray    # (N, 2) flow-shifted positions (current frame)
     labels: jnp.ndarray    # (N,) 0 = static/ego, k >= 1 motion cluster
     valid: jnp.ndarray     # (N,)
     energy: jnp.ndarray
@@ -47,6 +48,7 @@ def discover_objects(
     n_hyp: int = 24,
     sf_thres: float = 0.12,
     max_depth: float = 40.0,
+    sf_depth_coeff: float = 0.002,
 ) -> DiscoveredObjects:
     H, W = depth0.shape
     gi = jnp.arange(0, H, step)
@@ -63,7 +65,11 @@ def discover_objects(
     X1 = camera.backproject(uv1, d1, fx, fy, cx, cy)     # cur-cam frame
     X1_pred = se3.transform(T_rel, X0)
     resid = jnp.linalg.norm(X1 - X1_pred, axis=-1)
-    dynamic = ok & (resid > sf_thres)
+    # depth-adaptive gate: disparity noise alone moves far points by
+    # ~z^2/bf * delta_d metres, which would flood (and overflow) the
+    # candidate set with far-background false positives, displacing real
+    # movers in the fixed n_max slots
+    dynamic = ok & (resid > sf_thres + sf_depth_coeff * d0 * d0)
 
     # compact dynamic candidates into n_max slots
     slots = jnp.cumsum(dynamic.astype(jnp.int32)) - 1
@@ -88,7 +94,9 @@ def discover_objects(
     D = graphcut.data_costs(hyps, c_X0, c_uv1, fx, fy, cx, cy)
     D = jnp.where(keep[None, :], D, 1e9)
     labels, energy = graphcut.segment(D, graph)
-    return DiscoveredObjects(uv=c_uv0, labels=labels, valid=mask, energy=energy)
+    return DiscoveredObjects(
+        uv=c_uv0, uv_cur=c_uv1, labels=labels, valid=mask, energy=energy
+    )
 
 
 def rasterize_labels(
@@ -96,10 +104,24 @@ def rasterize_labels(
 ) -> jnp.ndarray:
     """Paint discovered labels into an instance-mask image (each grid point
     fills its step x step cell); label 0 (ego) stays background."""
+    return rasterize_labels_at(
+        disc.uv, disc.labels, disc.valid, height, width, step
+    )
+
+
+def rasterize_labels_at(
+    uv: jnp.ndarray,        # (N, 2) positions to paint (any frame)
+    labels: jnp.ndarray,    # (N,)
+    valid: jnp.ndarray,     # (N,)
+    height: int, width: int, step: int = 8,
+) -> jnp.ndarray:
+    """Rasterize labels at arbitrary positions — e.g. at the flow-shifted
+    points ``uv0 + flow`` to produce the *current* frame's mask from a
+    discovery run on the previous frame."""
     img = jnp.zeros((height // step + 1, width // step + 1), jnp.int32)
-    xi = (disc.uv[:, 0] / step).astype(jnp.int32)
-    yi = (disc.uv[:, 1] / step).astype(jnp.int32)
-    lab = jnp.where(disc.valid & (disc.labels > 0), disc.labels, 0)
-    img = img.at[yi, xi].set(lab.astype(jnp.int32), mode="drop")
+    xi = jnp.round(uv[:, 0] / step).astype(jnp.int32)
+    yi = jnp.round(uv[:, 1] / step).astype(jnp.int32)
+    lab = jnp.where(valid & (labels > 0), labels, 0)
+    img = img.at[yi, xi].max(lab.astype(jnp.int32), mode="drop")
     big = jnp.repeat(jnp.repeat(img, step, axis=0), step, axis=1)
     return big[:height, :width]

@@ -87,7 +87,8 @@ class MultiMotSystem:
                  min_inliers: int = 10, max_lost_frames: int = 5,
                  enable_keyframes: bool = True, keyframe_gap: int = 5,
                  enable_loop_closing: bool = True, loop_min_matches: int = 40,
-                 loop_min_kf_separation: int = 3):
+                 loop_min_kf_separation: int = 3,
+                 discover_objects: bool = False):
         self.cfg = cfg
         self.key = jax.random.PRNGKey(seed)
         self.map = MapState()
@@ -104,6 +105,17 @@ class MultiMotSystem:
         self._velocity = np.eye(4, dtype=np.float32)  # mVelocity analog
         self._result_spec = None
         self._win: List[dict] = []   # trailing window device tensors
+        # mask-free mode: per-pair motion segmentation (pipeline/motion_seg)
+        # synthesizes the instance masks the pipeline would otherwise read
+        # from semantic/ (the reference hard-requires those files,
+        # Examples/RGB-D/rgbd_tum.cc:316).  Unmasked movers contaminate the
+        # static set, so the scene-flow reclassification pass is required
+        # (SolverConfig.sf_cam_gate) — enable it if the caller didn't.
+        self.discover_objects = discover_objects
+        if discover_objects and cfg.solver.sf_cam_gate == 0.0:
+            self.cfg = cfg = cfg.replace(
+                solver=dataclasses.replace(cfg.solver, sf_cam_gate=0.35)
+            )
         # keyframe store (on by default, like the reference's always-running
         # LocalMapping/LoopClosing threads, src/System.cc:92-97): place
         # recognition + relocalization on LOST + loop closing per keyframe
@@ -197,6 +209,13 @@ class MultiMotSystem:
         gray, depth, flow, sem = (
             jnp.asarray(gray), jnp.asarray(depth), jnp.asarray(flow), jnp.asarray(sem)
         )
+        # discovery needs a velocity estimate (frame >= 2): with T_rel = I
+        # the whole scene fails the ego-consistency gate and everything
+        # would be flagged dynamic
+        if self.discover_objects and self._win and self._frame_idx >= 2:
+            sem = self._discover_mask(
+                depth, jax.random.fold_in(self.key, 100_000 + self._frame_idx)
+            )
         if self._last_obs is None:
             # StereoInitialization (src/Tracking.cc:2502): first pose = I
             self._ctx = tracker.initial_context(K)
@@ -331,9 +350,60 @@ class MultiMotSystem:
                 self._kf_to_traj.pop(0)   # store evicted its oldest
         return added
 
+    def _discover_mask(self, depth_u16_cur, key):
+        """Synthesize the current frame's instance mask from motion alone
+        (pipeline/motion_seg): discovery runs on the previous frame's grid
+        with the constant-velocity ego prediction, and the labels are
+        rasterized at their flow-shifted (current-frame) positions."""
+        from multimot_track_tpu.geometry import camera as cam_g
+        from multimot_track_tpu.pipeline import motion_seg
+
+        cam = self.cfg.camera
+        prev = self._win[-1]
+        depth0 = cam_g.disparity_png_to_depth(
+            prev["depth"].astype(jnp.float32), cam.bf
+        )
+        depth1 = cam_g.disparity_png_to_depth(
+            depth_u16_cur.astype(jnp.float32), cam.bf
+        )
+        flow0 = prev["flow"].astype(jnp.float32) * (1.0 / 128.0)
+        disc = motion_seg.discover_objects(
+            key, depth0, depth1, flow0, jnp.asarray(self._velocity),
+            cam.fx, cam.fy, cam.cx, cam.cy,
+        )
+        # the MRF may split one object across several motion clusters
+        # (fragmented hypotheses); instances = connected components of the
+        # dynamic raster, largest K-1 kept (labels must fit the pipeline's
+        # K slots, cf. the loader's <4 clamp, io/kitti.load_mask_txt)
+        raster = np.asarray(
+            motion_seg.rasterize_labels_at(
+                disc.uv_cur, disc.labels, disc.valid, cam.height, cam.width,
+                step=8,
+            )
+        )
+        from scipy import ndimage
+
+        # dilate one 8px cell so near-adjacent fragments merge
+        binary = ndimage.binary_dilation(raster > 0, np.ones((17, 17), bool))
+        comp, n_comp = ndimage.label(binary)
+        comp = np.where(raster > 0, comp, 0)   # undo the dilation
+        mask = np.zeros_like(raster)
+        if n_comp:
+            sizes = ndimage.sum_labels(raster > 0, comp, range(1, n_comp + 1))
+            order = np.argsort(sizes)[::-1][: self.cfg.padding.k_obj_max - 1]
+            for new_id, c in enumerate(order, start=1):
+                # each discovered grid point paints an 8x8 cell; distant
+                # objects are small, so gate loosely and let the tracker's
+                # min_obj_points filter make the final call
+                if sizes[c] < 640:
+                    continue
+                mask[comp == c + 1] = new_id
+        return jnp.asarray(np.clip(mask, 0, 255).astype(np.uint8))
+
     def _push_window(self, gray, depth, flow, sem, traj_row: int):
-        """Keep the trailing window's device tensors for the refiner."""
-        if not self.cfg.backend.window_refine:
+        """Keep the trailing window's device tensors for the refiner (and
+        the mask-free discovery, which needs the previous frame)."""
+        if not (self.cfg.backend.window_refine or self.discover_objects):
             return
         self._win.append(
             {"gray": gray, "depth": depth, "flow": flow, "sem": sem, "row": traj_row}

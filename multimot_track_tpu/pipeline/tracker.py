@@ -141,30 +141,52 @@ def track_pair(
         iters=sol.cam_lm_iters,
         tau=sol.lm_tau,
     )
-    cam_res = solve_flow_ba(
-        T_init_cam, Twl, pair.st_uv, pair.st_flow, pair.st_depth, st_solve,
-        fx, fy, cx, cy, params=cam_params,
-    )
-    T_fwd = cam_res.T
-    if sol.symmetric_cam:
-        # backward solve anchored on the CURRENT frame's depth: world := cur
-        # camera frame, observations at the current positions, flow negated.
-        # Fusing forward and backward cancels first-order per-frame depth
-        # bias (the reference's dormant PoseOptimizationForBack idea,
-        # src/Optimizer.cc:2889, done as two Schur solves + se3 averaging).
-        rel_f = T_fwd @ se3.inverse(ctx.Tcw_last)          # last cam -> cur cam
-        bwd_sub = st_solve & (pair.st_cur_depth > 0)
+
+    def solve_cam_sym(subset, T_init):
+        """Forward flow-BA + (optionally) a backward solve anchored on the
+        CURRENT frame's depth, se3-averaged.  The symmetrisation cancels
+        first-order per-frame depth bias (the reference's dormant
+        PoseOptimizationForBack idea, src/Optimizer.cc:2889, done as two
+        Schur solves + averaging)."""
+        res_f = solve_flow_ba(
+            T_init, Twl, pair.st_uv, pair.st_flow, pair.st_depth, subset,
+            fx, fy, cx, cy, params=cam_params,
+        )
+        if not sol.symmetric_cam:
+            return res_f.T, res_f
+        rel_f = res_f.T @ se3.inverse(ctx.Tcw_last)        # last cam -> cur cam
+        bwd_sub = subset & (pair.st_cur_depth > 0)
         bwd_res = solve_flow_ba(
-            se3.inverse(rel_f), jnp.eye(4, dtype=T_fwd.dtype),
+            se3.inverse(rel_f), jnp.eye(4, dtype=res_f.T.dtype),
             pair.st_cur_uv, -pair.st_flow, pair.st_cur_depth, bwd_sub,
             fx, fy, cx, cy, params=cam_params,
         )
         rel_b = se3.inverse(bwd_res.T)                     # last cam -> cur cam
         xi = 0.5 * (se3.log_se3(rel_f) + se3.log_se3(rel_b))
         ok_b = (bwd_res.n_inliers >= 10) & jnp.all(jnp.isfinite(xi))
-        T_sym = se3.exp_se3(jnp.where(ok_b, xi, se3.log_se3(rel_f))) @ ctx.Tcw_last
-    else:
-        T_sym = T_fwd
+        T = se3.exp_se3(jnp.where(ok_b, xi, se3.log_se3(rel_f))) @ ctx.Tcw_last
+        return T, res_f
+
+    T_sym, cam_res = solve_cam_sym(st_solve, T_init_cam)
+    if sol.sf_cam_gate > 0.0:
+        # scene-flow reclassification: points that genuinely MOVE pass the
+        # photometric gate (their flow is correct — for the object); drop
+        # them by 3-D scene flow under the first solve and re-solve.  The
+        # mask-free mode depends on this (unmasked movers otherwise bias
+        # the ego solve, tools/diag_flow_quality.py).
+        Xw_cur_s = se3.transform(se3.inverse(T_sym), xyz_cur_st)
+        d3 = Xw_cur_s - Xw_st
+        sfm = jnp.sqrt(d3[:, 0] ** 2 + d3[:, 2] ** 2)
+        gate = sol.sf_cam_gate + sol.sf_cam_depth_coeff * pair.st_depth ** 2
+        keep = st_solve & jnp.where(pair.st_cur_depth > 0, sfm < gate, True)
+        n_keep = jnp.sum(keep.astype(jnp.int32))
+        T_re, cam_res_re = solve_cam_sym(keep, T_sym)
+        use_re = n_keep >= sol.min_gated_static
+        T_sym = jnp.where(use_re, T_re, T_sym)
+        cam_res = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(use_re, a, b), cam_res_re, cam_res
+        )
+        st_solve = jnp.where(use_re, keep, st_solve)
     n_st = jnp.sum(st_solve.astype(jnp.int32))
     Tcw_cur = jnp.where(n_st >= 3, T_sym, ctx.Tcw_last)
     Twc_cur = se3.inverse(Tcw_cur)
