@@ -51,39 +51,53 @@ def frontend_batch(gray_u8, depth_u16, flow_i16, sem_u8, gts, cfg: PipelineConfi
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def track_batch(keys, obs_stack, gray_u8, depth_u16, sem_u8, gts, cfg: PipelineConfig):
-    """Solve all F-1 pairs at once in last-camera coordinates.
+def track_pairs(keys, prev_obs, cur_gray_u8, cur_depth_u16, cur_sem_u8, gt_cur,
+                cfg: PipelineConfig):
+    """Solve a batch of pre-paired frames in last-camera coordinates.
 
-    obs_stack: stacked FrameObservation pytree (F, ...); gray/depth/sem: the
-    raw current-frame images (F, H, W) used for the correspondence handoff
-    and photometric flow verification.
-    Returns the stacked PairResult (F-1, ...) with Tcw_cur = per-pair
-    relative motion T_rel (frame k-1 camera -> frame k camera).
+    Every argument's leading axis is the pair batch B — this is the axis the
+    device mesh shards ("pair"/"host", parallel/multihost.py); XLA partitions
+    the whole frontend+solver program with no cross-pair communication.
+    Returns the stacked PairResult (B, ...) with Tcw_cur = per-pair relative
+    motion T_rel (frame k-1 camera -> frame k camera).
     """
     K = cfg.padding.k_obj_max
     eye = jnp.eye(4)
     ctx = tracker.initial_context(K)
 
-    def one_pair(key, prev_obs, cur_gray_u8, cur_depth_u16, cur_sem_u8, gt_cur):
+    def one_pair(key, prev, cur_gray, cur_depth, cur_sem, gt):
         # anchor GT to the pair's own last-camera frame so device-side
         # object metrics compare motions in commensurate worlds
-        G = se3.inverse(prev_obs.gt.Tcw)           # Twc_gt_last
-        gt_cur_rel = gt_cur._replace(Tcw=gt_cur.Tcw @ G)
-        prev_rel = prev_obs._replace(gt=prev_obs.gt._replace(Tcw=eye))
+        G = se3.inverse(prev.gt.Tcw)           # Twc_gt_last
+        gt_cur_rel = gt._replace(Tcw=gt.Tcw @ G)
+        prev_rel = prev._replace(gt=prev.gt._replace(Tcw=eye))
         pair = F.build_pair(
             prev_rel,
-            cur_depth_u16.astype(jnp.float32),
-            cur_sem_u8.astype(jnp.int32),
+            cur_depth.astype(jnp.float32),
+            cur_sem.astype(jnp.int32),
             gt_cur_rel,
             cfg,
-            cur_gray=cur_gray_u8.astype(jnp.float32),
+            cur_gray=cur_gray.astype(jnp.float32),
         )
         res = tracker.track_pair(key, pair, ctx, cfg)
         return res._replace(obj_label_map=jnp.zeros((0,), jnp.int32))
 
+    return jax.vmap(one_pair)(keys, prev_obs, cur_gray_u8, cur_depth_u16,
+                              cur_sem_u8, gt_cur)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_batch(keys, obs_stack, gray_u8, depth_u16, sem_u8, gts, cfg: PipelineConfig):
+    """Solve all F-1 pairs at once in last-camera coordinates.
+
+    obs_stack: stacked FrameObservation pytree (F, ...); gray/depth/sem: the
+    raw current-frame images (F, H, W) used for the correspondence handoff
+    and photometric flow verification.  Thin pairing wrapper over
+    ``track_pairs``.
+    """
     prev = jax.tree_util.tree_map(lambda x: x[:-1], obs_stack)
     gt_cur = jax.tree_util.tree_map(lambda x: x[1:], gts)
-    return jax.vmap(one_pair)(keys, prev, gray_u8[1:], depth_u16[1:], sem_u8[1:], gt_cur)
+    return track_pairs(keys, prev, gray_u8[1:], depth_u16[1:], sem_u8[1:], gt_cur, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
