@@ -30,6 +30,11 @@ def main(argv=None):
         help="sequence has image_2/image_3 stereo pairs instead of depth/",
     )
     ap.add_argument(
+        "--mono", action="store_true",
+        help="monocular ego-only odometry from image_0/ grays "
+             "(mono_kitti driver role; up-to-scale trajectory + Sim3 ATE)",
+    )
+    ap.add_argument(
         "--no-loop-closing", action="store_true",
         help="disable keyframe loop detection + pose-graph correction",
     )
@@ -65,6 +70,9 @@ def main(argv=None):
         cfg = config_from_yaml(args.settings, cfg)
     elif (pathlib.Path(args.sequence) / "kitti03.yaml").exists():
         cfg = config_from_yaml(pathlib.Path(args.sequence) / "kitti03.yaml", cfg)
+
+    if args.mono:
+        return run_mono(args, cfg)
 
     if args.stereo:
         from multimot_track_tpu.io.stereo_seq import StereoKittiSequence
@@ -127,6 +135,51 @@ def main(argv=None):
             path=out / "traj.png",
         )
         print(f"results written to {out}")
+    if hasattr(seq, "close"):
+        seq.close()
+    return 0
+
+
+def run_mono(args, cfg):
+    """Monocular ego-only drive (Examples/Monocular/mono_kitti.cc role):
+    grayscale frames -> MonoTracker -> up-to-scale trajectory, Sim3-aligned
+    ATE against GT poses when the sequence provides them."""
+    import jax.numpy as jnp
+
+    from multimot_track_tpu.eval import metrics
+    from multimot_track_tpu.io.native_loader import get_sequence
+    from multimot_track_tpu.pipeline.mono import MonoTracker
+
+    seq = get_sequence(args.sequence)
+    n = len(seq) if args.frames is None else min(args.frames, len(seq))
+    tracker = MonoTracker(cfg)
+    gt_list = []
+    for i in range(n):
+        fd = seq.load_frame(i)
+        Tcw = tracker.track(np.asarray(fd.gray, np.float32))
+        if fd.pose_gt is not None:
+            gt_list.append(np.asarray(fd.pose_gt, np.float32))
+        t = np.linalg.inv(Tcw)[:3, 3]
+        state = "init" if not tracker.initialized else "track"
+        print(f"frame {i}: [{state}] twc=({t[0]:.3f}, {t[1]:.3f}, {t[2]:.3f})")
+
+    Twc_est = np.stack([np.linalg.inv(T) for T in tracker.poses])
+    out = pathlib.Path(args.out) if args.out else None
+    if out:
+        out.mkdir(parents=True, exist_ok=True)
+        with open(out / "mono_trajectory.txt", "w") as f:
+            for T in Twc_est:
+                f.write(" ".join(f"{v:.6f}" for v in T[:3].reshape(-1)) + "\n")
+        print(f"trajectory written to {out / 'mono_trajectory.txt'}")
+
+    summary = {"n_frames": n, "initialized": tracker.initialized}
+    if len(gt_list) == len(tracker.poses) and tracker.initialized:
+        gt_Twc = np.stack(gt_list)  # disk poses are Twc already
+        rmse, _ = metrics.absolute_trajectory_error(
+            jnp.asarray(Twc_est), jnp.asarray(gt_Twc), with_scale=True
+        )
+        summary["ego_ate_sim3_rmse_m"] = float(rmse)
+    print("\nsummary:", json.dumps(summary, indent=2))
     if hasattr(seq, "close"):
         seq.close()
     return 0

@@ -113,10 +113,13 @@ def absolute_trajectory_error(
     est_Twc: jnp.ndarray,   # (M, 4, 4) estimated camera-to-world poses
     gt_Twc: jnp.ndarray,    # (M, 4, 4) ground-truth camera-to-world poses
     align: bool = True,
+    with_scale: bool = False,
 ):
-    """ATE-RMSE after rigid (Umeyama, no scale) trajectory alignment — the
-    KITTI/TUM evaluation convention the BASELINE targets alongside RPE.
+    """ATE-RMSE after rigid (Umeyama) trajectory alignment — the KITTI/TUM
+    evaluation convention the BASELINE targets alongside RPE.
 
+    ``with_scale=True`` additionally solves the similarity scale — the
+    standard convention for monocular (up-to-scale) trajectories.
     Returns (rmse, per-frame position errors).
     """
     from multimot_track_tpu.solvers.sim3 import umeyama
@@ -124,8 +127,8 @@ def absolute_trajectory_error(
     p_est = est_Twc[:, :3, 3]
     p_gt = gt_Twc[:, :3, 3]
     if align:
-        s, R, t = umeyama(p_est[None], p_gt[None], with_scale=False)
-        p_al = jnp.einsum("ij,nj->ni", R[0], p_est) + t[0]
+        s, R, t = umeyama(p_est[None], p_gt[None], with_scale=with_scale)
+        p_al = s[0] * jnp.einsum("ij,nj->ni", R[0], p_est) + t[0]
     else:
         p_al = p_est
     err = jnp.linalg.norm(p_al - p_gt, axis=-1)

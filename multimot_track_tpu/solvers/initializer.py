@@ -9,11 +9,12 @@ TPU shape: all hypotheses for both models are solved and scored as one
 batch (8-point F via vmapped SVD, 4-point H via DLT); triangulation of all
 points under all 4 (R, t) candidates is a single batched linear solve.
 
-Deviation (documented): when the homography model wins, the pose is still
-recovered through the essential-matrix path on the H-inlier set rather
-than a Faugeras H-decomposition — for the target domain (vehicle-mounted
-forward motion) the planar-dominant case is rare; full H decomposition is
-tracked as follow-up work.
+When the homography model wins, the pose is recovered by the Faugeras
+H-decomposition (:func:`decompose_homography`, the reference's
+ReconstructH path, src/Initializer.cc) — all 8 (R, t, n) candidates are
+triangulated and cheirality-scored as one batch together with the
+essential-matrix candidates, and the model-selection flag picks which
+candidate set counts.
 """
 
 from __future__ import annotations
@@ -113,6 +114,81 @@ def _homography_score(H, p1, p2, sigma2=1.0, th=5.991):
     return ok, score
 
 
+def decompose_homography(H: jnp.ndarray, K: jnp.ndarray):
+    """Faugeras-Lustman decomposition of a calibrated homography.
+
+    Counterpart of the reference Initializer::ReconstructH candidate
+    enumeration (src/Initializer.cc; Faugeras & Lustman 1988, "Motion and
+    structure from motion in a piecewise planar environment").  Returns the
+    8 candidate motions as a batch:
+
+      R (8, 3, 3), t (8, 3) unit-norm, n (8, 3) plane normals,
+      valid () bool — False when the singular values are too close for the
+      decomposition to be well-conditioned (the reference rejects
+      d1/d2 or d2/d3 within 1.00001).
+    """
+    A = jnp.linalg.inv(K) @ H @ K
+    U, d, Vt = jnp.linalg.svd(A)
+    s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    d1, d2, d3 = d[0], d[1], d[2]
+    valid = (d1 / jnp.maximum(d2, 1e-12) > 1.00001) & (
+        d2 / jnp.maximum(d3, 1e-12) > 1.00001
+    )
+
+    denom = jnp.maximum(d1 * d1 - d3 * d3, 1e-12)
+    x1m = jnp.sqrt(jnp.maximum(d1 * d1 - d2 * d2, 0.0) / denom)
+    x3m = jnp.sqrt(jnp.maximum(d2 * d2 - d3 * d3, 0.0) / denom)
+    e1 = jnp.asarray([1.0, 1.0, -1.0, -1.0])
+    e3 = jnp.asarray([1.0, -1.0, 1.0, -1.0])
+
+    # --- case d' = +d2: rotation about y by theta -----------------------
+    st = (
+        e1 * e3 * jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0))
+        / jnp.maximum((d1 + d3) * d2, 1e-12)
+    )                                           # (4,)
+    ct = (d2 * d2 + d1 * d3) / jnp.maximum((d1 + d3) * d2, 1e-12)
+
+    def rot_y(c, sn, flip):
+        # flip=False: diag(+1) theta-form; flip=True: the d'=-d2 phi-form
+        if not flip:
+            return jnp.stack([
+                jnp.stack([c, jnp.zeros_like(c), -sn], -1),
+                jnp.stack([jnp.zeros_like(c), jnp.ones_like(c), jnp.zeros_like(c)], -1),
+                jnp.stack([sn, jnp.zeros_like(c), c], -1),
+            ], -2)
+        return jnp.stack([
+            jnp.stack([c, jnp.zeros_like(c), sn], -1),
+            jnp.stack([jnp.zeros_like(c), -jnp.ones_like(c), jnp.zeros_like(c)], -1),
+            jnp.stack([sn, jnp.zeros_like(c), -c], -1),
+        ], -2)
+
+    Rp_pos = rot_y(jnp.full(4, ct), st, flip=False)             # (4, 3, 3)
+    tp_pos = (d1 - d3) * jnp.stack([e1 * x1m, jnp.zeros(4), -e3 * x3m], -1)
+    np_pos = jnp.stack([e1 * x1m, jnp.zeros(4), e3 * x3m], -1)
+
+    # --- case d' = -d2: rotation-with-reflection by phi -----------------
+    sp = (
+        e1 * e3 * jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0))
+        / jnp.maximum((d1 - d3) * d2, 1e-12)
+    )
+    cp = (d1 * d3 - d2 * d2) / jnp.maximum((d1 - d3) * d2, 1e-12)
+    Rp_neg = rot_y(jnp.full(4, cp), sp, flip=True)
+    tp_neg = (d1 + d3) * jnp.stack([e1 * x1m, jnp.zeros(4), e3 * x3m], -1)
+    np_neg = np_pos
+
+    Rp = jnp.concatenate([Rp_pos, Rp_neg])                      # (8, 3, 3)
+    tp = jnp.concatenate([tp_pos, tp_neg])                      # (8, 3)
+    npl = jnp.concatenate([np_pos, np_neg])
+
+    R = s * jnp.einsum("ij,bjk,kl->bil", U, Rp, Vt)
+    t = jnp.einsum("ij,bj->bi", U, tp)
+    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+    n = jnp.einsum("ji,bj->bi", Vt, npl)
+    # normals conventionally point towards the camera (n_z > 0)
+    n = jnp.where(n[..., 2:3] < 0, -n, n)
+    return R, t, n, valid
+
+
 def triangulate(P1, P2, p1, p2):
     """DLT triangulation: P (3, 4) projection matrices, p (..., 2)."""
     rows = jnp.stack(
@@ -170,9 +246,10 @@ def initialize_mono(
     use_H = SH / jnp.maximum(SH + SF, 1e-9) > 0.40   # Initializer RH rule
 
     F_best = Fs[bF]
+    H_best = Hs[bH]
     inl = jnp.where(use_H, okH[bH], okF[bF]) & valid
 
-    # essential decomposition (on F-model inlier structure)
+    # essential decomposition (F model)
     E = Kmat.T @ F_best @ Kmat
     U, _, Vt = jnp.linalg.svd(E)
     W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
@@ -183,12 +260,22 @@ def initialize_mono(
     tvec = U[:, 2]
     tvec = tvec / jnp.maximum(jnp.linalg.norm(tvec), 1e-12)
 
-    cands = jnp.stack(
+    cands_E = jnp.stack(
         [
             se3.make_T(R1, tvec), se3.make_T(R1, -tvec),
             se3.make_T(R2, tvec), se3.make_T(R2, -tvec),
+            jnp.eye(4), jnp.eye(4), jnp.eye(4), jnp.eye(4),   # padding, masked
         ]
     )
+    valid_E = jnp.asarray([True] * 4 + [False] * 4)
+
+    # Faugeras decomposition (H model): 8 (R, t, n) candidates
+    RsH, tsH, _, h_ok = decompose_homography(H_best, Kmat)
+    cands_H = jax.vmap(se3.make_T)(RsH, tsH)
+    valid_H = jnp.broadcast_to(h_ok, (8,))
+
+    cand_T = jnp.where(use_H, cands_H, cands_E)
+    cand_valid = jnp.where(use_H, valid_H, valid_E)
 
     P1 = Kmat @ jnp.eye(4)[:3]
 
@@ -198,22 +285,55 @@ def initialize_mono(
         z1 = X[..., 2]
         Xc2 = se3.transform(T, X)
         z2 = Xc2[..., 2]
-        good = inl & (z1 > 0) & (z2 > 0) & jnp.isfinite(z1) & jnp.isfinite(z2)
-        return jnp.sum(good.astype(jnp.int32)), X, good
+        # reprojection gate in both views (Initializer CheckRT: err2 < 4*sigma2)
+        # — with pure cheirality the two Faugeras planar solutions tie
+        u1 = Kmat[0, 0] * X[..., 0] / z1 + Kmat[0, 2]
+        v1 = Kmat[1, 1] * X[..., 1] / z1 + Kmat[1, 2]
+        u2 = Kmat[0, 0] * Xc2[..., 0] / z2 + Kmat[0, 2]
+        v2 = Kmat[1, 1] * Xc2[..., 1] / z2 + Kmat[1, 2]
+        e1 = (u1 - uv1[..., 0]) ** 2 + (v1 - uv1[..., 1]) ** 2
+        e2 = (u2 - uv2[..., 0]) ** 2 + (v2 - uv2[..., 1]) ** 2
+        rp_ok = (e1 < 4.0 * sigma * sigma) & (e2 < 4.0 * sigma * sigma)
+        ok_geom = (
+            (z1 > 0) & (z2 > 0)
+            & jnp.isfinite(z1) & jnp.isfinite(z2) & rp_ok
+        )
+        # candidate selection scores ALL matched points (deviation from the
+        # reference, which scores only model inliers): for a plane-dominant
+        # scene the two Faugeras solutions tie exactly on the planar inlier
+        # set, and only the off-plane points — H-model outliers — separate
+        # the true motion from its planar twin
+        good_all = valid & ok_geom
+        good_model = inl & ok_geom
+        return (
+            jnp.sum(good_all.astype(jnp.int32)),
+            jnp.sum(good_model.astype(jnp.int32)),
+            X,
+            good_model,
+        )
 
-    ns, Xs, goods = jax.vmap(eval_cand)(cands)
-    best_c = jnp.argmax(ns)
-    n_good = ns[best_c]
+    ns_sel, ns_model, Xs, goods = jax.vmap(eval_cand)(cand_T)
+    ns_sel = jnp.where(cand_valid, ns_sel, -1)
+    best_c = jnp.argmax(ns_sel)
+    n_good = ns_model[best_c]
     n_inl = jnp.sum(inl.astype(jnp.int32))
-    # cheirality winner must clearly dominate (Initializer's nsimilar check)
-    second = jnp.sort(ns)[-2]
-    ok = (n_good > min_inliers) & (n_good.astype(jnp.float32) > 0.7 * n_inl) & (
-        second.astype(jnp.float32) < 0.75 * n_good.astype(jnp.float32)
+    # the cheirality/reprojection winner must clearly dominate the runner-up
+    # (role of the reference's secondBestGood < 0.75*bestGood).  With the
+    # all-points selection scoring the margin is what carries the signal —
+    # the planar twin ties exactly on the plane and loses only the off-plane
+    # points — so dominance is relative (<0.9) plus an absolute gap.
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    second = jnp.sort(ns_sel)[-2]
+    best_sel = ns_sel[best_c].astype(jnp.float32)
+    gap_ok = (second.astype(jnp.float32) < 0.9 * best_sel) & (
+        (best_sel - second.astype(jnp.float32))
+        > jnp.maximum(10.0, 0.02 * n_valid.astype(jnp.float32))
     )
+    ok = (n_good > min_inliers) & (n_good.astype(jnp.float32) > 0.7 * n_inl) & gap_ok
     return MonoInit(
         ok=ok,
         used_homography=use_H,
-        T21=cands[best_c],
+        T21=cand_T[best_c],
         points3d=Xs[best_c],
         inliers=goods[best_c],
     )
