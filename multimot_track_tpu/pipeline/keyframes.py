@@ -219,5 +219,12 @@ class KeyframeStore:
             [Z_odo, jnp.linalg.inv(jnp.asarray(T_rel))[None]], axis=0
         )
         w = jnp.concatenate([jnp.ones(M - 1), jnp.asarray([float(n)])])
-        out = pose_graph.optimize_pose_graph(jnp.asarray(trajectory), ij, Z, w)
+        # exact dense GN at keyframe scale; matrix-free CG (O(E) memory)
+        # once the trajectory outgrows the dense normal system
+        solve = (
+            pose_graph.optimize_pose_graph
+            if M <= 256
+            else pose_graph.optimize_pose_graph_cg
+        )
+        out = solve(jnp.asarray(trajectory), ij, Z, w)
         return np.asarray(out.poses), n

@@ -158,3 +158,53 @@ def test_close_loop_corrects_drifted_trajectory():
     e_before = np.linalg.norm(traj[-1][:3, 3])
     e_after = np.linalg.norm(corrected[-1][:3, 3])
     assert e_after < 0.5 * e_before, (e_before, e_after)
+
+
+def test_pose_graph_cg_matches_dense():
+    """Matrix-free CG solver agrees with the exact dense GN on the same graph."""
+    M = 12
+    true_rel = np.asarray(se3.exp_se3(jnp.asarray([0, 0.05, 0, 0, 0, 1.0], jnp.float32)))
+    poses = [np.eye(4, dtype=np.float32)]
+    for i in range(1, M):
+        drift = np.asarray(se3.exp_se3(jnp.asarray([0, 0.004, 0, 0.01, 0, 0.02], jnp.float32)))
+        poses.append((drift @ true_rel @ poses[-1]).astype(np.float32))
+    poses = np.stack(poses)
+    true_poses = [np.eye(4, dtype=np.float32)]
+    for i in range(1, M):
+        true_poses.append((true_rel @ true_poses[-1]).astype(np.float32))
+    true_poses = np.stack(true_poses)
+
+    ij_odo, Z_odo = pose_graph.odometry_edges(jnp.asarray(poses))
+    Z_loop = jnp.asarray(true_poses[-1] @ np.linalg.inv(true_poses[0]))[None]
+    ij = jnp.concatenate([ij_odo, jnp.asarray([[M - 1, 0]], jnp.int32)])
+    Z = jnp.concatenate([Z_odo, Z_loop])
+    w = jnp.concatenate([jnp.ones(M - 1), jnp.asarray([50.0])])
+    dense = pose_graph.optimize_pose_graph(jnp.asarray(poses), ij, Z, w)
+    cg = pose_graph.optimize_pose_graph_cg(jnp.asarray(poses), ij, Z, w)
+    np.testing.assert_allclose(
+        np.asarray(cg.poses), np.asarray(dense.poses), atol=5e-3
+    )
+
+
+def test_pose_graph_cg_scales_to_thousand_poses():
+    """Full-KITTI scale: 1000 poses, O(E) memory, loop correction works."""
+    M = 1000
+    rel = np.asarray(se3.exp_se3(jnp.asarray([0, 0.003, 0, 0, 0, 1.0], jnp.float32)))
+    drift = np.asarray(se3.exp_se3(jnp.asarray([0, 0.0005, 0, 0.002, 0, 0.004], jnp.float32)))
+    poses, true_poses = [np.eye(4, dtype=np.float32)], [np.eye(4, dtype=np.float32)]
+    for i in range(1, M):
+        poses.append((drift @ rel @ poses[-1]).astype(np.float32))
+        true_poses.append((rel @ true_poses[-1]).astype(np.float32))
+    poses, true_poses = np.stack(poses), np.stack(true_poses)
+    ij_odo, Z_odo = pose_graph.odometry_edges(jnp.asarray(poses))
+    Z_loop = jnp.asarray(true_poses[-1] @ np.linalg.inv(true_poses[0]))[None]
+    ij = jnp.concatenate([ij_odo, jnp.asarray([[M - 1, 0]], jnp.int32)])
+    Z = jnp.concatenate([Z_odo, Z_loop])
+    w = jnp.concatenate([jnp.ones(M - 1), jnp.asarray([100.0])])
+    out = pose_graph.optimize_pose_graph_cg(jnp.asarray(poses), ij, Z, w)
+    e_before = np.linalg.norm((poses[-1] @ np.linalg.inv(true_poses[-1]))[:3, 3])
+    e_after = np.linalg.norm(
+        (np.asarray(out.poses[-1]) @ np.linalg.inv(true_poses[-1]))[:3, 3]
+    )
+    assert np.isfinite(e_after)
+    assert e_after < 0.5 * e_before, (e_before, e_after)
