@@ -30,7 +30,29 @@ _jax.config.update("jax_default_matmul_precision", "float32")
 # subsequent process start warm.
 import os as _os
 
-_cache_dir = _os.environ.get("MMT_JAX_CACHE", "/tmp/mmt_jax_cache")
+
+def _host_fingerprint() -> str:
+    """CPU-feature fingerprint for the cache path.  XLA:CPU AOT
+    executables are machine-feature-specific, and this fleet is
+    heterogeneous — loading an executable cached by a host with
+    different features SIGSEGVs inside cpu_aot_loader (observed).
+    Partitioning the cache per feature set makes stale entries
+    unreachable instead of fatal."""
+    try:
+        import hashlib
+
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except Exception:
+        pass
+    return "generic"
+
+
+_cache_dir = _os.path.join(
+    _os.environ.get("MMT_JAX_CACHE", "/tmp/mmt_jax_cache"), _host_fingerprint()
+)
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -54,3 +54,53 @@ def zncc(patch_a: jnp.ndarray, patch_b: jnp.ndarray) -> jnp.ndarray:
     num = (a * b).sum(-1)
     den = jnp.sqrt((a * a).sum(-1) * (b * b).sum(-1)) + 1e-6
     return num / den
+
+
+def refine_position(
+    gray: jnp.ndarray,        # (H, W) current frame
+    uv: jnp.ndarray,          # (N, 2) predicted positions
+    patch_ref: jnp.ndarray,   # (N, (2r+1)^2) reference patches to lock onto
+    radius: int,              # patch radius r (must match patch_ref)
+    search_radius: int = 2,
+    step: float = 1.0,
+):
+    """KLT-style local re-centering: evaluate ZNCC against ``patch_ref`` on
+    a (2s+1)^2 grid of candidate positions around each prediction and take
+    the best.  One batched gather-and-reduce — the TPU-native template
+    tracker.  Returns (refined uv (N, 2), best zncc (N,))."""
+    s = search_radius
+    dy, dx = jnp.meshgrid(
+        jnp.arange(-s, s + 1), jnp.arange(-s, s + 1), indexing="ij"
+    )
+    offs = jnp.stack([dx.reshape(-1), dy.reshape(-1)], -1).astype(uv.dtype) * step
+    C = offs.shape[0]
+
+    def score_offset(off):
+        p = extract_patches(gray, uv + off[None, :], radius)
+        return zncc(patch_ref, p)
+
+    scores = jnp.stack([score_offset(offs[c]) for c in range(C)])  # (C, N)
+    best = jnp.argmax(scores, axis=0)                              # (N,)
+    k = 2 * s + 1
+    grid = scores.reshape(k, k, -1)                                # (ky, kx, N)
+    by = best // k
+    bx = best % k
+    n = jnp.arange(uv.shape[0])
+
+    # subpixel: separable parabola through the best cell and its neighbours
+    # (without it the returned positions are quantised to the search step,
+    # which feeds ~step/2 of noise into any downstream least squares)
+    def parab(sm, s0, sp):
+        den = sm - 2.0 * s0 + sp
+        d = jnp.where(jnp.abs(den) > 1e-9, 0.5 * (sm - sp) / den, 0.0)
+        return jnp.clip(d, -0.5, 0.5)
+
+    bxc = jnp.clip(bx, 1, k - 2)
+    byc = jnp.clip(by, 1, k - 2)
+    dxs = parab(grid[byc, bxc - 1, n], grid[byc, bxc, n], grid[byc, bxc + 1, n])
+    dys = parab(grid[byc - 1, bxc, n], grid[byc, bxc, n], grid[byc + 1, bxc, n])
+    # at the grid border the parabola support is off-centre — keep integer
+    dxs = jnp.where((bx >= 1) & (bx <= k - 2), dxs, 0.0)
+    dys = jnp.where((by >= 1) & (by <= k - 2), dys, 0.0)
+    sub = jnp.stack([dxs, dys], -1) * step
+    return uv + offs[best] + sub, jnp.max(scores, axis=0)

@@ -46,6 +46,12 @@ class ObjectRecord:
     centre3d: np.ndarray
     bbox: np.ndarray
     has_gt: bool
+    # camera-independent decomposition for post-hoc (refined/loop-corrected)
+    # metric recomputation: P_lc maps last-camera coords of an object point
+    # to its current-camera position (pure measurement, no world anchoring);
+    # centre_pre_lc is the solved members' centroid in last-camera coords
+    P_lc: np.ndarray = None
+    centre_pre_lc: np.ndarray = None
 
 
 @dataclasses.dataclass
@@ -57,6 +63,8 @@ class MapState:
     # the reference's vmCameraPose_orb/main split has the same purpose
     camera_poses_raw: List[np.ndarray] = dataclasses.field(default_factory=list)
     gt_poses: List[np.ndarray] = dataclasses.field(default_factory=list)       # Twc ground truth
+    # per-frame GT object camera-frame poses {id: L_c (4,4)} (vObjPose_gt)
+    gt_objs: List[dict] = dataclasses.field(default_factory=list)
     timestamps: List[float] = dataclasses.field(default_factory=list)
     cam_rpe_abs: List[np.ndarray] = dataclasses.field(default_factory=list)   # vvCamMotErr_1
     cam_rpe_rel: List[np.ndarray] = dataclasses.field(default_factory=list)   # vvCamMotErr_2
@@ -222,6 +230,14 @@ class MultiMotSystem:
             self.map.camera_poses.append(np.eye(4, dtype=np.float32))
             self.map.camera_poses_raw.append(np.eye(4, dtype=np.float32))
             self.map.gt_poses.append(np.asarray(fd.pose_gt, np.float32))
+            self.map.gt_objs.append(
+                {
+                    int(i): np.asarray(L, np.float32)
+                    for i, L in zip(fd.obj_ids_gt, fd.obj_poses_gt)
+                }
+                if fd.obj_ids_gt is not None
+                else {}
+            )
             self.map.timestamps.append(fd.timestamp)
             self._last_obs = tracker.first_step(
                 gray, depth, flow, sem, gt, cfg,
@@ -509,7 +525,22 @@ class MultiMotSystem:
         m.cam_rpe_abs.append(np.asarray([float(r.cam_t_rpe), float(r.cam_r_rpe)]))
         m.cam_rpe_rel.append(np.asarray([float(r.cam_t_rpe_rel), float(r.cam_r_rpe_rel)]))
         m.flow_hists.append(np.asarray(r.flow_hist))
+        m.gt_objs.append(
+            {
+                int(i): np.asarray(L, np.float32)
+                for i, L in zip(fd.obj_ids_gt, fd.obj_poses_gt)
+            }
+            if fd.obj_ids_gt is not None
+            else {}
+        )
         ob = r.objects
+        # camera-pose factors for the camera-independent P_lc decomposition
+        Twc_cur_used = m.camera_poses[-1]
+        Tcw_cur_used = np.linalg.inv(Twc_cur_used)
+        Twc_last_used = (
+            m.camera_poses[-2] if len(m.camera_poses) >= 2 else np.eye(4, dtype=np.float32)
+        )
+        Tcw_last_used = np.linalg.inv(Twc_last_used)
         seen = np.asarray(ob.seen)
         active = np.asarray(ob.active)
         m.tot_obj_num.append(int(seen.sum()))
@@ -545,6 +576,13 @@ class MultiMotSystem:
                     n_inliers=int(ob.n_inliers[slot]),
                     centre3d=np.asarray(ob.centre3d[slot]),
                     bbox=np.asarray(ob.bbox[slot]),
+                    P_lc=(
+                        Tcw_cur_used @ np.asarray(ob.H[slot]) @ Twc_last_used
+                    ).astype(np.float32),
+                    centre_pre_lc=(
+                        Tcw_last_used[:3, :3] @ np.asarray(ob.centre_pre[slot])
+                        + Tcw_last_used[:3, 3]
+                    ).astype(np.float32),
                     has_gt=bool(ob.has_gt[slot]),
                 )
             )
@@ -570,6 +608,7 @@ class MultiMotSystem:
             "ego_ate_rmse_m": self.ate(),
             "ego_ate_rmse_raw_m": self.ate(raw=True),
             "cam_t_rpe_refined_mean": self.refined_pair_rpe(),
+            "obj_t_rpe_refined_mean": self.refined_obj_metrics()[0],
             "mean_frame_time_s": float(np.mean(m.frame_times)) if m.frame_times else None,
             "median_frame_time_s": float(np.median(m.frame_times)) if m.frame_times else None,
         }
@@ -616,6 +655,48 @@ class MultiMotSystem:
             out.append(float(r.t_rel))
         out = [v for v in out if np.isfinite(v)]
         return float(np.mean(out)) if out else None
+
+    def refined_obj_metrics(self):
+        """Object t-RPE / speed error recomputed against the FINAL (window-
+        refined, loop-corrected) trajectory from each record's camera-
+        independent measurement P_lc: H = Twc_cur P_lc Tcw_last.  The
+        device-side numbers use the online pose of their moment; after the
+        backend rewrites the trajectory this is the consistent evaluation
+        (and the honest one for the 'with backend' PARITY row)."""
+        from multimot_track_tpu.eval import metrics as M
+
+        m = self.map
+        t_rels, sp_errs = [], []
+        for rec in m.obj_records:
+            if not rec.has_gt or rec.P_lc is None:
+                continue
+            f = rec.frame
+            if f < 1 or f >= len(m.camera_poses) or f >= len(m.gt_objs):
+                continue
+            gl, gc = m.gt_objs[f - 1], m.gt_objs[f]
+            oid = rec.sem_label
+            if oid not in gl or oid not in gc:
+                continue
+            Twc_l = m.camera_poses[f - 1]
+            Twc_c = m.camera_poses[f]
+            H = Twc_c @ rec.P_lc @ np.linalg.inv(Twc_l)
+            L_w_p = m.gt_poses[f - 1] @ gl[oid]
+            L_w_c = m.gt_poses[f] @ gc[oid]
+            H_gt = L_w_c @ np.linalg.inv(L_w_p)
+            cpre_w = Twc_l[:3, :3] @ rec.centre_pre_lc + Twc_l[:3, 3]
+            e = M.object_motion_error(
+                jnp.asarray(H.astype(np.float32)),
+                jnp.asarray(H_gt.astype(np.float32)),
+                jnp.asarray(cpre_w.astype(np.float32)),
+                jnp.asarray(L_w_p[:3, 3].astype(np.float32)),
+                jnp.asarray(L_w_c[:3, 3].astype(np.float32)),
+            )
+            if np.isfinite(float(e.t_rel)):
+                t_rels.append(float(e.t_rel))
+                sp_errs.append(float(e.speed_err_rel))
+        if not t_rels:
+            return None, None
+        return float(np.mean(t_rels)), float(np.mean(sp_errs))
 
     # ------------------------------------------------------------------
     def save_trajectory_kitti(self, path):

@@ -64,6 +64,8 @@ class ObjectOutputs(NamedTuple):
     H: jnp.ndarray           # (K, 4, 4) world-frame motion (vObjMod)
     n_inliers: jnp.ndarray   # flow-BA inlier count
     centre3d: jnp.ndarray    # (K, 3) current world centroid (vObjCentre3D)
+    centre_pre: jnp.ndarray  # (K, 3) last-frame world centroid of the solved
+    #                          members (the speed metric's lever arm)
     bbox: jnp.ndarray        # (K, 4) x_min, y_min, x_max, y_max (+-1 extended)
     speed_est: jnp.ndarray   # km/h
     speed_gt: jnp.ndarray
@@ -374,6 +376,7 @@ def track_pair(
         H=H_world,
         n_inliers=n_inl,
         centre3d=centre3d,
+        centre_pre=centre_pre,
         bbox=bbox,
         speed_est=om.speed_est,
         speed_gt=om.speed_gt,
@@ -500,6 +503,7 @@ def light_result_spec(cfg: PipelineConfig):
         H=s((K, 4, 4)),
         n_inliers=s((K,), jnp.int32),
         centre3d=s((K, 3)),
+        centre_pre=s((K, 3)),
         bbox=s((K, 4)),
         speed_est=s((K,)),
         speed_gt=s((K,)),

@@ -52,11 +52,12 @@ def refine_trailing_window(
     valid0 = kp.valid & (z0 > 0) & (z0 < 40.0) & (lab0 == 0)
 
     tr = tracks.chain_tracks(kp.uv, valid0, flows, sems)
-    # photometric verification of every chained observation: patches at the
-    # tracked positions must stay correlated with the frame-0 patch, else
-    # accumulated flow drift corrupts the BA (same witness as the pairwise
-    # gate, ops/photometric; alive is monotone so one failed link kills the
-    # remainder of the track)
+    # photometric verification of every chained observation against the
+    # frame-0 patch: the strictest selection — only drift-free tracks
+    # survive.  The KLT re-centering variant (tracks.chain_tracks_zncc)
+    # more than doubles survival but admits noisier measurements and
+    # measured WORSE on the refined RPE (5.7% vs 4.8% on kitti_sample);
+    # with the odometry-prior fusion the BA prefers few clean tracks.
     r = cfg.solver.zncc_patch_radius
     p0 = photometric.extract_patches(gray0, kp.uv, r)
 

@@ -95,12 +95,18 @@ def ransac_pnp(
     counts = jax.vmap(score)(T_hyp)
     best = jnp.argmax(counts)
     T_best = T_hyp[best]
-    inl0, n0 = _count_inliers(T_best, Xw, uv, valid, thresh, fx, fy, cx, cy)
-    T_ref = _gn_refine(T_best, Xw, uv, inl0.astype(jnp.float32), refine_iters, fx, fy, cx, cy)
-    inl1, n1 = _count_inliers(T_ref, Xw, uv, valid, thresh, fx, fy, cx, cy)
-    take = n1 >= n0
-    return PnPResult(
-        T=jnp.where(take, T_ref, T_best),
-        inliers=jnp.where(take, inl1, inl0),
-        n_inliers=jnp.maximum(n0, n1),
-    )
+    # iterated refinement (PnPsolver::Refine loop): GN on the inlier set,
+    # re-classify, repeat — one round leaves the pose hostage to the raw
+    # minimal-sample hypothesis's inlier selection
+    T_cur = T_best
+    inl_cur, n_cur = _count_inliers(T_best, Xw, uv, valid, thresh, fx, fy, cx, cy)
+    for _ in range(2):
+        T_ref = _gn_refine(
+            T_cur, Xw, uv, inl_cur.astype(jnp.float32), refine_iters, fx, fy, cx, cy
+        )
+        inl1, n1 = _count_inliers(T_ref, Xw, uv, valid, thresh, fx, fy, cx, cy)
+        take = n1 >= n_cur
+        T_cur = jnp.where(take, T_ref, T_cur)
+        inl_cur = jnp.where(take, inl1, inl_cur)
+        n_cur = jnp.maximum(n_cur, n1)
+    return PnPResult(T=T_cur, inliers=inl_cur, n_inliers=n_cur)

@@ -1,3 +1,4 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,3 +70,74 @@ def test_subpixel_accuracy():
     fl = np.asarray(optical_flow.dense_flow(jnp.asarray(img0), jnp.asarray(img1), n_levels=3))
     inner = fl[20:-20, 20:-20, 0]
     assert abs(np.median(inner) - 1.5) < 0.2
+
+
+def test_refine_position_subpixel():
+    """KLT re-centering recovers a known sub-pixel shift."""
+    import numpy as np
+    from multimot_track_tpu.ops import photometric
+
+    rng = np.random.default_rng(5)
+    H, W = 64, 96
+    base = rng.uniform(0, 255, (H + 4, W + 4)).astype(np.float32)
+    # smooth it so bilinear interpolation is meaningful
+    k = np.asarray([0.25, 0.5, 0.25])
+    for ax in (0, 1):
+        base = np.apply_along_axis(lambda m: np.convolve(m, k, "same"), ax, base)
+    img0 = jnp.asarray(base[2:H+2, 2:W+2])
+    dx, dy = 1.3, -0.7
+    # img1 = img0 shifted by (dx, dy): sample img0 at (x - dx, y - dy)
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    pos = jnp.asarray(np.stack([(xs - dx).ravel(), (ys - dy).ravel()], -1).astype(np.float32))
+    img1 = photometric.extract_patches(img0, pos, 0).reshape(H, W)
+
+    uv = jnp.asarray(rng.uniform([8, 8], [W - 8, H - 8], (50, 2)).astype(np.float32))
+    p0 = photometric.extract_patches(img0, uv, 2)
+    # prediction = true position + noise within the search radius
+    pred = uv + jnp.asarray([dx, dy]) + jnp.asarray(rng.uniform(-1, 1, (50, 2)).astype(np.float32))
+    ref, sc = photometric.refine_position(img1, pred, p0, 2, search_radius=2)
+    err = np.linalg.norm(np.asarray(ref) - (np.asarray(uv) + [dx, dy]), axis=1)
+    assert float(np.median(err)) < 0.35, float(np.median(err))
+    assert float(np.median(np.asarray(sc))) > 0.9
+
+
+@pytest.mark.slow
+def test_chain_tracks_zncc_survival(kitti_sample_dir):
+    """Template-update KLT chaining survives >2x longer than the plain
+    flow chain + cumulative frame-0 gate on real frames."""
+    import numpy as np
+    from multimot_track_tpu.config import DEFAULT_CONFIG
+    from multimot_track_tpu.frontend import fast, tracks
+    from multimot_track_tpu.geometry import camera
+    from multimot_track_tpu.io.kitti import KittiSequence
+    from multimot_track_tpu.ops import photometric
+
+    cfg = DEFAULT_CONFIG
+    seq = KittiSequence(kitti_sample_dir)
+    fds = [seq.load_frame(i) for i in range(5)]
+    grays = jnp.stack([jnp.asarray(f.gray, jnp.float32) for f in fds])
+    flows = jnp.stack([jnp.asarray(f.flow, jnp.float32) for f in fds[:-1]])
+    sems = jnp.stack([jnp.asarray(f.sem_mask.astype(np.int32)) for f in fds])
+    depth0 = camera.disparity_png_to_depth(
+        jnp.asarray(fds[0].depth_raw.astype(np.float32)), cfg.camera.bf
+    )
+    kp = fast.detect_pyramid(grays[0], n_levels=4, n_total=2048)
+    z0, _ = camera.nearest_sample(depth0, kp.uv)
+    lab0, _ = camera.nearest_sample(sems[0], kp.uv)
+    v0 = kp.valid & (z0 > 0) & (z0 < 40.0) & (lab0 == 0)
+
+    r = cfg.solver.zncc_patch_radius
+    gate = cfg.backend.window_zncc_min
+    tr = tracks.chain_tracks(kp.uv, v0, flows, sems)
+    p0 = photometric.extract_patches(grays[0], kp.uv, r)
+    a = np.asarray(tr.alive[0])
+    for f in range(1, 5):
+        pf = photometric.extract_patches(grays[f], tr.uv[f], r)
+        a = a & np.asarray(tr.alive[f]) & (np.asarray(photometric.zncc(p0, pf)) > gate)
+    n_plain = int(a.sum())
+
+    tr2 = tracks.chain_tracks_zncc(
+        kp.uv, v0, flows, grays, sems, patch_radius=r, zncc_min=gate
+    )
+    n_klt = int(np.asarray(tr2.alive[4]).sum())
+    assert n_klt > 2 * n_plain, (n_klt, n_plain)
