@@ -130,6 +130,12 @@ class SolverConfig:
     # --- synthetic depth-noise injection (Frame.cc:1089, testing mechanism) ---
     depth_noise: bool = False       # sigma = z^2/(725*0.5)*scale when enabled
     depth_noise_scale: float = 0.15
+    # --- synthetic outlier-flow injection (the reference's commented
+    # robustness-study injector, Frame.cc:276-301): a random fraction of
+    # flow pixels gets Gaussian outlier offsets ---
+    flow_outliers: bool = False
+    flow_outlier_frac: float = 0.1
+    flow_outlier_mag: float = 15.0
 
 
 @dataclasses.dataclass(frozen=True)

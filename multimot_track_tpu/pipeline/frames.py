@@ -90,6 +90,17 @@ def build_frame_observation(
         sigma = depth * depth / (725.0 * 0.5) * cfg.solver.depth_noise_scale
         noise = sigma * jax.random.normal(noise_key, depth.shape, depth.dtype)
         depth = jnp.where(depth > 0, jnp.maximum(depth + noise, 1e-3), depth)
+    if cfg.solver.flow_outliers and noise_key is not None:
+        # the reference's commented outlier-flow injector (Frame.cc:276-301):
+        # a random pixel fraction gets large Gaussian flow offsets — the
+        # mechanism the authors used to study robustness to flow corruption
+        kh, km = jax.random.split(jax.random.fold_in(noise_key, 1))
+        hit = (
+            jax.random.uniform(kh, flow.shape[:2] + (1,))
+            < cfg.solver.flow_outlier_frac
+        )
+        mag = jax.random.normal(km, flow.shape) * cfg.solver.flow_outlier_mag
+        flow = jnp.where(hit, flow + mag, flow)
     kp = fast.detect_pyramid(
         gray,
         threshold=float(fe.fast_threshold),

@@ -469,7 +469,8 @@ def full_step(
     depth_raw = depth_raw_u16.astype(jnp.float32)
     flow = flow_i16.astype(jnp.float32) * (1.0 / 128.0)
     sem = sem_u8.astype(jnp.int32)
-    if cfg.solver.depth_noise:   # static: default stream untouched
+    if cfg.solver.depth_noise or cfg.solver.flow_outliers:
+        # static branch: the default PRNG stream is untouched when off
         k_noise, key = jax.random.split(key)
     else:
         k_noise = None

@@ -87,3 +87,28 @@ def test_single_pixel_objects():
     # objects below the 100-point gate must never become active
     for r in results[1:]:
         assert not np.asarray(r.objects.active).any()
+
+
+@pytest.mark.slow
+def test_flow_outlier_injection_absorbed(kitti_sample_dir):
+    """The reference's outlier-flow injector (Frame.cc:276-301, commented):
+    with 10% of flow pixels corrupted by N(0, 15 px) offsets, the
+    photometric gate + RANSAC must keep the camera solve sane."""
+    cfg = dataclasses.replace(
+        CFG,
+        solver=dataclasses.replace(
+            CFG.solver, flow_outliers=True, flow_outlier_frac=0.1,
+            flow_outlier_mag=15.0,
+        ),
+    )
+    seq = KittiSequence(kitti_sample_dir)
+    sys_ = MultiMotSystem(cfg, enable_keyframes=False)
+    errs = []
+    for i in range(3):
+        r = sys_.track_rgbd(seq.load_frame(i))
+        if r is not None:
+            assert np.all(np.isfinite(np.asarray(r.Tcw_cur)))
+            errs.append(float(r.cam_t_rpe_rel))
+    # corrupted flow, yet the pair errors stay in the tracking regime
+    assert len(errs) == 2
+    assert np.mean(errs) < 0.20, errs
