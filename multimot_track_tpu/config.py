@@ -80,8 +80,13 @@ class SolverConfig:
     cam_flow_prior_info: float = 0.3  # unary flow prior weight (Optimizer.cc:502)
     obj_flow_prior_info: float = 0.5  # (Optimizer.cc:2278)
     reproj_info: float = 0.1        # binary reprojection edge weight (Optimizer.cc:465)
-    cam_lm_iters: int = 100         # LM iterations (Optimizer.cc:520)
-    obj_lm_iters: int = 200         # (Optimizer.cc:2296)
+    # LM iteration caps.  The reference caps at 100/200 (Optimizer.cc:520,
+    # :2296); with the rel_tol freeze our LM converges by ~10-20 iterations
+    # on kitti_sample (tools/diag_iters.py: identical metrics down to 20/40)
+    # — 50/100 keeps a 2x safety margin and cuts the device critical path
+    # ~20% (PERF.md)
+    cam_lm_iters: int = 50
+    obj_lm_iters: int = 100
     lm_tau: float = 1e-5            # initial lambda = tau * max(diag H)
     # --- RANSAC initialisation (reference: Tracking.cc:4324-4443) ---
     ransac_iters: int = 500         # ego hypothesis count (Tracking.cc:4362)
@@ -99,6 +104,19 @@ class SolverConfig:
     # use the propagated previous motion as an init-model alternative for
     # objects (GetInitModelObj); can be disabled to force pure RANSAC init
     obj_motion_model_init: bool = True
+    # --- object seed ensemble + composite consensus (no reference
+    # counterpart): run the full init->solve->reclassify chain under
+    # independent RANSAC streams, project each candidate's members and
+    # keep the motion whose members both photometrically register against
+    # the last frame AND agree with the measured stereo 3-D.
+    # The RANSAC stream is the dominant variance of the object solve
+    # (3-11% RPE spread across seeds, tools/diag_obj.py); within-strategy
+    # selection is robust where cross-strategy selection is gameable
+    # (candidates that overfit one witness). ---
+    obj_ensemble: bool = True
+    obj_ensemble_seeds: int = 3
+    obj_zncc_gate: float = 0.9      # member gate for photometric witnesses
+    obj_consensus_zncc: float = 0.8  # patch-verification bar for scoring
     # after the first solve on the init-model inliers, re-classify ALL
     # member points by solver chi2 and re-solve (redescending iteration,
     # the batched analog of g2o's per-round outlier levels)

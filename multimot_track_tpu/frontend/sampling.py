@@ -26,6 +26,8 @@ class ObjSamples(NamedTuple):
     flow: jnp.ndarray    # (N, 2) float32 flow to next frame (mvObjFlowNext)
     corres: jnp.ndarray  # (N, 2) float32 uv + flow (mvObjCorres)
     valid: jnp.ndarray   # (N,) bool
+    patch: jnp.ndarray   # (N, P) intensity patch at uv — the photometric
+    #                      witness for the object-motion consensus selector
 
 
 class StaticSamples(NamedTuple):
@@ -58,14 +60,16 @@ def compact(valid: jnp.ndarray, n_max: int, *payloads):
     return n_valid, out_mask, *packed
 
 
-@functools.partial(jax.jit, static_argnames=("step", "n_max"))
+@functools.partial(jax.jit, static_argnames=("step", "n_max", "patch_radius"))
 def sample_dense_objects(
     depth_img: jnp.ndarray,
     sem_mask: jnp.ndarray,
     flow_img: jnp.ndarray,
+    gray: jnp.ndarray = None,
     step: int = 4,
     max_depth: float = 25.0,
     n_max: int = 8192,
+    patch_radius: int = 2,
 ) -> ObjSamples:
     """Every ``step``-th pixel where mask != 0 and 0 < depth < max_depth and
     the flow-shifted position stays strictly inside the image
@@ -95,7 +99,16 @@ def sample_dense_objects(
     _, mask, uv_p, d_p, l_p, f_p, c_p = compact(
         valid, n_max, uv, d.reshape(-1), lab.reshape(-1), f.reshape(-1, 2), corres
     )
-    return ObjSamples(uv=uv_p, depth=d_p, label=l_p, flow=f_p, corres=c_p, valid=mask)
+    if gray is None:
+        patch = jnp.zeros((n_max, (2 * patch_radius + 1) ** 2), jnp.float32)
+    else:
+        from multimot_track_tpu.ops import photometric
+
+        patch = photometric.extract_patches(
+            gray.astype(jnp.float32), uv_p, patch_radius
+        )
+    return ObjSamples(uv=uv_p, depth=d_p, label=l_p, flow=f_p, corres=c_p,
+                      valid=mask, patch=patch)
 
 
 @functools.partial(jax.jit, static_argnames=("n_max", "patch_radius"))

@@ -61,6 +61,9 @@ class PairInputs(NamedTuple):
     ob_cur_depth: jnp.ndarray  # (No,)
     ob_cur_label: jnp.ndarray  # (No,) semantic label at current position
     ob_valid: jnp.ndarray      # (No,) bool
+    ob_patch: jnp.ndarray      # (No, P) last-frame intensity patch at ob_uv
+    cur_gray: jnp.ndarray      # (H, W) current gray image — consumed by the
+    #                             object-motion photometric consensus selector
 
     gt_last: GTTable
     gt_cur: GTTable
@@ -115,9 +118,10 @@ def build_frame_observation(
         patch_radius=cfg.solver.zncc_patch_radius,
     )
     objects = sampling.sample_dense_objects(
-        depth, sem_mask, flow,
+        depth, sem_mask, flow, gray,
         step=fe.obj_sample_step, max_depth=fe.obj_max_depth,
         n_max=pad.n_obj_pts_max,
+        patch_radius=cfg.solver.zncc_patch_radius,
     )
     return FrameObservation(static=static, objects=objects, gt=gt)
 
@@ -181,6 +185,12 @@ def build_pair(
         ob_cur_depth=ob_cur_depth,
         ob_cur_label=ob_cur_label,
         ob_valid=last.objects.valid,
+        ob_patch=last.objects.patch,
+        cur_gray=(
+            cur_gray.astype(jnp.float32)
+            if cur_gray is not None
+            else jnp.zeros_like(cur_depth)
+        ),
         gt_last=last.gt,
         gt_cur=gt_cur,
     )

@@ -247,6 +247,16 @@ def track_pair(
         tau=sol.lm_tau,
     )
 
+    # photometric evidence for the object points: last-frame patch vs the
+    # patch at the flow-shifted current position (the E-candidate gate)
+    from multimot_track_tpu.ops import photometric
+
+    r_patch = sol.zncc_patch_radius
+    s_ob = photometric.zncc(
+        pair.ob_patch,
+        photometric.extract_patches(pair.cur_gray, pair.ob_cur_uv, r_patch),
+    )
+
     # compact each label's members into fixed per-object slots: the solvers
     # then run over n_per_obj_max points instead of the full padded set
     M = cfg.padding.n_per_obj_max
@@ -264,56 +274,96 @@ def track_pair(
         return (
             take(pair.ob_uv), take(pair.ob_flow), take(pair.ob_depth),
             take(pair.ob_cur_uv), take(Xp_w), take(xyz_cur_ob), mask,
+            take(pair.ob_patch), take(s_ob, fill=-1.0),
         )
 
-    c_uv, c_flow, c_depth, c_cur_uv, c_Xp, c_xyz, c_mask = jax.vmap(compact_label)(member)
+    (c_uv, c_flow, c_depth, c_cur_uv, c_Xp, c_xyz, c_mask,
+     c_patch, c_s) = jax.vmap(compact_label)(member)
 
-    def solve_one(k_rng, uv_o, flow_o, depth_o, cur_uv_o, Xp_o, xyz_o, memb, mode_lab):
-        rrk = ransac.ransac_rigid_pose(
-            k_rng, Xp_o, cur_uv_o, xyz_o, memb,
-            fx, fy, cx, cy,
-            thresh=sol.obj_ransac_reproj_px, iters=sol.obj_ransac_iters,
-            refine_iters=sol.refine_gn_iters,
-        )
-        # motion-model alternative (GetInitModelObj, Tracking.cc:4377-4436)
+    def solve_one(k_rng, uv_o, flow_o, depth_o, cur_uv_o, Xp_o, xyz_o, memb,
+                  patch_o, s_o, mode_lab):
         H_prev = ctx.H_prev_by_label[mode_lab]
         has_prev = ctx.H_prev_valid[mode_lab]
         MM = Tcw_cur @ H_prev
-        inl_mm, n_mm = ransac._count_inliers(
-            MM, Xp_o, cur_uv_o, memb, sol.obj_ransac_reproj_px, fx, fy, cx, cy
-        )
-        use_mm = has_prev & (n_mm >= rrk.n_inliers) & sol.obj_motion_model_init
-        T_init = jnp.where(use_mm, MM, rrk.T)
-        subset = jnp.where(use_mm, inl_mm, rrk.inliers)
-        n_subset = jnp.sum(subset.astype(jnp.int32))
 
-        res = solve_flow_ba(
-            T_init, Twl, uv_o, flow_o, depth_o, subset,
-            fx, fy, cx, cy, params=obj_params,
-        )
-        # redescending re-classification: re-gate ALL member points by the
-        # solver's chi2 and re-solve — the batched analog of g2o's
-        # per-round outlier levels (Optimizer.cc:2296-2360); recovers the
-        # inliers a clustered init subset misses (tools/diag_obj.py)
-        for _ in range(sol.obj_reclassify_rounds):
-            regate = memb & (res.chi2 <= sol.obj_rp_thres)
-            n_re = jnp.sum(regate.astype(jnp.int32))
-            res2 = solve_flow_ba(
-                res.T, Twl, uv_o, flow_o, depth_o, regate,
+        def solve_chain(kk):
+            """The full init -> solve -> reclassify chain for one RANSAC
+            stream (the reference path: GetInitModelObj + flow-BA +
+            per-round outlier levels, Optimizer.cc:2296-2360)."""
+            rrk = ransac.ransac_rigid_pose(
+                kk, Xp_o, cur_uv_o, xyz_o, memb,
+                fx, fy, cx, cy,
+                thresh=sol.obj_ransac_reproj_px, iters=sol.obj_ransac_iters,
+                refine_iters=sol.refine_gn_iters,
+            )
+            # motion-model alternative (GetInitModelObj, Tracking.cc:4377-4436)
+            inl_mm, n_mm = ransac._count_inliers(
+                MM, Xp_o, cur_uv_o, memb, sol.obj_ransac_reproj_px,
+                fx, fy, cx, cy
+            )
+            use_mm = has_prev & (n_mm >= rrk.n_inliers) & sol.obj_motion_model_init
+            T_init = jnp.where(use_mm, MM, rrk.T)
+            subset = jnp.where(use_mm, inl_mm, rrk.inliers)
+            n_subset = jnp.sum(subset.astype(jnp.int32))
+            res = solve_flow_ba(
+                T_init, Twl, uv_o, flow_o, depth_o, subset,
                 fx, fy, cx, cy, params=obj_params,
             )
-            res = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(n_re >= 10, a, b), res2, res
-            )
-        P = jnp.where(n_subset >= 3, res.T, jnp.eye(4, dtype=res.T.dtype))
+            for _ in range(sol.obj_reclassify_rounds):
+                regate = memb & (res.chi2 <= sol.obj_rp_thres)
+                n_re = jnp.sum(regate.astype(jnp.int32))
+                res2 = solve_flow_ba(
+                    res.T, Twl, uv_o, flow_o, depth_o, regate,
+                    fx, fy, cx, cy, params=obj_params,
+                )
+                res = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(n_re >= 10, a, b), res2, res
+                )
+            return res.T, res.n_inliers, subset, n_subset
+
+        if sol.obj_ensemble:
+            # seed ensemble: the RANSAC init is the dominant variance of
+            # the object solve (measured 3-11% RPE spread across streams,
+            # tools/diag_obj.py); run S independent streams and pick the
+            # solution whose projected members BOTH photometrically
+            # register against the last frame and agree with the measured
+            # stereo 3-D within the depth-noise band — two witnesses the
+            # flow objective does not optimise directly
+            kks = jax.random.split(k_rng, sol.obj_ensemble_seeds)
+            T_s, n_s, sub_s, nsub_s = jax.vmap(solve_chain)(kks)
+
+            def consensus(P):
+                Xc = se3.transform(P, Xp_o)
+                uvp = camera.project(Xc, fx, fy, cx, cy)
+                pc = photometric.extract_patches(pair.cur_gray, uvp, r_patch)
+                sp = photometric.zncc(patch_o, pc)
+                d3 = jnp.linalg.norm(Xc - xyz_o, axis=-1)
+                gate = 0.1 + 0.002 * depth_o ** 2
+                ok = (
+                    (sp > sol.obj_consensus_zncc) & (d3 < gate)
+                    & memb & (depth_o > 0)
+                )
+                return jnp.sum(ok.astype(jnp.int32))
+
+            scores = jax.vmap(consensus)(T_s)
+            best = jnp.argmax(scores)
+            best_T = T_s[best]
+            best_n = n_s[best]
+            subset = sub_s[best]
+            n_subset = nsub_s[best]
+        else:
+            best_T, best_n, subset, n_subset = solve_chain(k_rng)
+
+        P = jnp.where(n_subset >= 3, best_T, jnp.eye(4, dtype=best_T.dtype))
         H_world = se3.inverse(Tcw_cur) @ P                  # vObjMod (Tracking.cc:2129)
         sw = subset.astype(jnp.float32)
         centre_pre = jnp.sum(Xp_o * sw[:, None], axis=0) / jnp.maximum(jnp.sum(sw), 1.0)
-        return H_world, res.n_inliers, centre_pre
+        return H_world, best_n, centre_pre
 
     keys = jax.random.split(k_obj, K)
     H_world, n_inl, centre_pre = jax.vmap(solve_one)(
-        keys, c_uv, c_flow, c_depth, c_cur_uv, c_Xp, c_xyz, c_mask, mode_last
+        keys, c_uv, c_flow, c_depth, c_cur_uv, c_Xp, c_xyz, c_mask,
+        c_patch, c_s, mode_last
     )
 
     # current-frame world centroid + bbox over all members (Tracking.cc:1694-1902)

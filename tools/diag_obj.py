@@ -133,12 +133,38 @@ def main():
             # zncc + ransac inliers
             Fv = solve(mz & rrk.inliers, rrk.T)
             nz = int(jnp.sum(mz))
+            # R: the pipeline's reclassify rounds applied to A
+            Rv = A
+            for _ in range(sol.obj_reclassify_rounds):
+                regate = memb & (Rv.chi2 <= sol.obj_rp_thres)
+                if int(jnp.sum(regate)) >= 10:
+                    Rv = solve(regate, Rv.T)
+
+            # --- photometric consensus selector: project members through
+            # each candidate motion and ZNCC the current patches against
+            # the last-frame patches — a flow-independent witness of which
+            # solution is physically right ---
+            p_last = extract_patches(g_l, pair.ob_uv, 2)
+
+            def photo_consensus(P):
+                Xc = se3.transform(jnp.asarray(P, jnp.float32), Xp_w)
+                uvp = camera.project(Xc, fx, fy, cx, cy)
+                pc = extract_patches(g_c, uvp, 2)
+                sp = zncc(p_last, pc)
+                return float(jnp.sum(((sp > 0.8) & memb).astype(jnp.int32)))
+
+            cands = {"A": A.T, "B": B.T, "E": E.T, "R": Rv.T}
+            scores = {nm: photo_consensus(P) for nm, P in cands.items()}
+            best = max(scores, key=scores.get)
             print(f"pair {k}->{k+1} label {lab}: n={n} nz={nz} "
                   f"ransac_inl={int(rrk.n_inliers)} "
                   f"| A inl {obj_rpe(A.T):6.2f} B all {obj_rpe(B.T):6.2f} "
                   f"C gt-init-inl {obj_rpe(C.T):6.2f} D gt-init-all {obj_rpe(D.T):6.2f} "
                   f"E zncc {obj_rpe(E.T):6.2f} F zncc+inl {obj_rpe(Fv.T):6.2f} "
-                  f"| init {obj_rpe(rrk.T):6.2f}")
+                  f"R reclass {obj_rpe(Rv.T):6.2f} "
+                  f"| init {obj_rpe(rrk.T):6.2f} "
+                  f"| photo-pick {best} -> {obj_rpe(cands[best]):6.2f} "
+                  f"(scores {dict((kk, int(vv)) for kk, vv in scores.items())})")
 
 
 if __name__ == "__main__":
