@@ -99,13 +99,33 @@ def exp_se3(xi: jnp.ndarray) -> jnp.ndarray:
     return make_T(R, t)
 
 
+def _so3_left_jacobian_inv(omega: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form V^{-1} = I - K/2 + (1/theta^2 - (1+cos)/(2 theta sin)) K^2
+    — avoids a batched 3x3 LAPACK solve in log_se3 (tiny-solve custom calls
+    serialize badly on TPU, geometry/smallsolve.py)."""
+    theta2 = jnp.sum(omega * omega, axis=-1)
+    theta = jnp.sqrt(theta2 + _EPS * _EPS)
+    K = hat(omega)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), K.shape)
+    sin_t = jnp.sin(theta)
+    cos_t = jnp.cos(theta)
+    small = theta2 < 1e-10
+    denom = jnp.where(small, 1.0, 2.0 * theta * sin_t)
+    c = jnp.where(
+        small,
+        1.0 / 12.0 + theta2 / 720.0,
+        1.0 / jnp.maximum(theta2, _EPS * _EPS) - (1.0 + cos_t) / denom,
+    )
+    return eye - 0.5 * K + c[..., None, None] * (K @ K)
+
+
 def log_se3(T: jnp.ndarray) -> jnp.ndarray:
     """(..., 4, 4) -> (..., 6) tangent (omega, upsilon)."""
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     omega = log_so3(R)
-    V = _so3_left_jacobian(omega)
-    ups = jnp.linalg.solve(V, t[..., None])[..., 0]
+    Vinv = _so3_left_jacobian_inv(omega)
+    ups = jnp.einsum("...ij,...j->...i", Vinv, t)
     return jnp.concatenate([omega, ups], axis=-1)
 
 

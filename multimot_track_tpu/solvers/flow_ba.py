@@ -31,7 +31,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from multimot_track_tpu.geometry import camera, se3
+from multimot_track_tpu.geometry import camera, se3, smallsolve
 
 
 class FlowBAParams(NamedTuple):
@@ -125,7 +125,7 @@ def _build_and_solve(T, f, Xw, obs, flow_meas, valid, lam, p: FlowBAParams, fx, 
     )
     g_red = g_T - jnp.einsum("nia,ni,n->a", AtW, g_f, 1.0 / h_ff)
 
-    dxi = jnp.linalg.solve(H_red, -g_red)
+    dxi = smallsolve.solve_spd6(H_red, -g_red)
     # back-substitute flow updates: (wp+wf+lam) df = -(g_f + wp * A dxi)
     Adxi = jnp.einsum("nia,a->ni", A, dxi)
     df = -(g_f + wp[:, None] * Adxi) / h_ff[:, None]
@@ -332,11 +332,11 @@ def solve_flow_depth_ba(
             [r_f[:, 0], r_f[:, 1], r_d], -1)
         H_Tv = jnp.einsum("nia,nib,n->nab", A, B, wp)      # (N, 6, 3)
 
-        H_vv_inv = jnp.linalg.inv(H_vv)
+        H_vv_inv = smallsolve.inv_spd3(H_vv)
         H_red = H_TT + lam * jnp.eye(6) - jnp.einsum(
             "nab,nbc,ndc->ad", H_Tv, H_vv_inv, H_Tv)
         g_red = g_T - jnp.einsum("nab,nbc,nc->a", H_Tv, H_vv_inv, g_v)
-        dxi = jnp.linalg.solve(H_red, -g_red)
+        dxi = smallsolve.solve_spd6(H_red, -g_red)
         dv = -jnp.einsum("nab,nb->na", H_vv_inv,
                          g_v + jnp.einsum("nba,b->na", H_Tv, dxi))
         pred = 0.5 * (jnp.dot(dxi, lam * dxi - g_red) + jnp.sum(

@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from multimot_track_tpu.geometry import camera, se3
+from multimot_track_tpu.geometry import camera, se3, smallsolve
 from multimot_track_tpu.solvers import horn
 
 
@@ -62,7 +62,7 @@ def _gn_refine(T, Xw, uv, w, iters, fx, fy, cx, cy):
         J = jnp.einsum("nij,njk->nik", dpi, dy)           # (N, 2, 6) of d r / d xi
         H = jnp.einsum("nia,nib,n->ab", J, J, w) + 1e-6 * jnp.eye(6, dtype=T.dtype)
         g = jnp.einsum("nia,ni,n->a", J, r, w)
-        dxi = jnp.linalg.solve(H, -g)
+        dxi = smallsolve.solve_spd6(H, -g)
         return se3.exp_se3(dxi) @ T
 
     return jax.lax.fori_loop(0, iters, step, T)
