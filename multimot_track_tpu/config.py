@@ -122,6 +122,10 @@ class SolverConfig:
     # the batched analog of g2o's per-round outlier levels)
     obj_reclassify_rounds: int = 2
     refine_gn_iters: int = 10       # polish best hypothesis on inliers
+    # --- flow-BA backend: "auto" = the fused Pallas LM kernel on TPU
+    # (solvers/flow_ba_pallas.py, 4.8x on the batched object path), pure
+    # XLA elsewhere; "xla"/"pallas" force one side ---
+    flow_ba_backend: str = "auto"
     # --- photometric flow verification (ops/photometric.py; no reference
     # counterpart — the reference trusts .flo unconditionally and pays for
     # it in coherent outlier clusters, measured in tools/diag_ego3.py) ---

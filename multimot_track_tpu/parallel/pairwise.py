@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from multimot_track_tpu.config import PipelineConfig
 from multimot_track_tpu.solvers import ransac
-from multimot_track_tpu.solvers.flow_ba import FlowBAParams, solve_flow_ba
+from multimot_track_tpu.solvers.flow_ba import FlowBAParams, solve_flow_ba_auto
 from multimot_track_tpu.geometry import camera
 from multimot_track_tpu.parallel.mesh import Mesh, NamedSharding, P, PAIR_AXIS
 
@@ -63,8 +63,9 @@ def solve_relative_batch(
             thresh=sol.ransac_reproj_px, iters=sol.ransac_iters,
             refine_iters=sol.refine_gn_iters,
         )
-        res = solve_flow_ba(
-            rr.T, eye, uv, flow, depth, valid, fx, fy, cx, cy, params=params
+        res = solve_flow_ba_auto(
+            rr.T, eye, uv, flow, depth, valid, fx, fy, cx, cy, params=params,
+            backend=sol.flow_ba_backend,
         )
         return res.T
 

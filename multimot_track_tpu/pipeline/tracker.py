@@ -27,7 +27,7 @@ from multimot_track_tpu.eval import metrics
 from multimot_track_tpu.geometry import camera, se3
 from multimot_track_tpu.pipeline.frames import PairInputs
 from multimot_track_tpu.solvers import ransac
-from multimot_track_tpu.solvers.flow_ba import FlowBAParams, solve_flow_ba
+from multimot_track_tpu.solvers.flow_ba import FlowBAParams, solve_flow_ba_auto
 
 
 class TrackContext(NamedTuple):
@@ -150,18 +150,18 @@ def track_pair(
         first-order per-frame depth bias (the reference's dormant
         PoseOptimizationForBack idea, src/Optimizer.cc:2889, done as two
         Schur solves + averaging)."""
-        res_f = solve_flow_ba(
+        res_f = solve_flow_ba_auto(
             T_init, Twl, pair.st_uv, pair.st_flow, pair.st_depth, subset,
-            fx, fy, cx, cy, params=cam_params,
+            fx, fy, cx, cy, params=cam_params, backend=sol.flow_ba_backend,
         )
         if not sol.symmetric_cam:
             return res_f.T, res_f
         rel_f = res_f.T @ se3.inverse(ctx.Tcw_last)        # last cam -> cur cam
         bwd_sub = subset & (pair.st_cur_depth > 0)
-        bwd_res = solve_flow_ba(
+        bwd_res = solve_flow_ba_auto(
             se3.inverse(rel_f), jnp.eye(4, dtype=res_f.T.dtype),
             pair.st_cur_uv, -pair.st_flow, pair.st_cur_depth, bwd_sub,
-            fx, fy, cx, cy, params=cam_params,
+            fx, fy, cx, cy, params=cam_params, backend=sol.flow_ba_backend,
         )
         rel_b = se3.inverse(bwd_res.T)                     # last cam -> cur cam
         xi = 0.5 * (se3.log_se3(rel_f) + se3.log_se3(rel_b))
@@ -305,16 +305,16 @@ def track_pair(
             T_init = jnp.where(use_mm, MM, rrk.T)
             subset = jnp.where(use_mm, inl_mm, rrk.inliers)
             n_subset = jnp.sum(subset.astype(jnp.int32))
-            res = solve_flow_ba(
+            res = solve_flow_ba_auto(
                 T_init, Twl, uv_o, flow_o, depth_o, subset,
-                fx, fy, cx, cy, params=obj_params,
+                fx, fy, cx, cy, params=obj_params, backend=sol.flow_ba_backend,
             )
             for _ in range(sol.obj_reclassify_rounds):
                 regate = memb & (res.chi2 <= sol.obj_rp_thres)
                 n_re = jnp.sum(regate.astype(jnp.int32))
-                res2 = solve_flow_ba(
+                res2 = solve_flow_ba_auto(
                     res.T, Twl, uv_o, flow_o, depth_o, regate,
-                    fx, fy, cx, cy, params=obj_params,
+                    fx, fy, cx, cy, params=obj_params, backend=sol.flow_ba_backend,
                 )
                 res = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(n_re >= 10, a, b), res2, res

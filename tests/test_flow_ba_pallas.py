@@ -1,0 +1,91 @@
+"""Parity: the fused Pallas flow-BA kernel vs the XLA reference backend.
+
+Runs the Pallas kernel in interpreter mode (the test mesh is CPU); on TPU
+the same kernel compiles via Mosaic and is benchmarked by
+tools/perf_characterize.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimot_track_tpu.geometry import se3, camera
+from multimot_track_tpu.solvers.flow_ba import FlowBAParams, solve_flow_ba
+from multimot_track_tpu.solvers.flow_ba_pallas import solve_flow_ba_pallas
+
+FX, FY, CX, CY = 721.5377, 721.5377, 609.5593, 172.854
+
+
+def _make_problem(seed, N=256, n_valid=200, outlier_frac=0.1):
+    rng = np.random.default_rng(seed)
+    uv = np.stack(
+        [rng.uniform(50, 1150, N), rng.uniform(50, 330, N)], axis=-1
+    ).astype(np.float32)
+    depth = rng.uniform(4.0, 30.0, N).astype(np.float32)
+    valid = np.arange(N) < n_valid
+
+    xi = np.array([0.004, -0.01, 0.002, 0.3, -0.05, 1.1], np.float32)
+    T_true = np.asarray(se3.exp_se3(jnp.asarray(xi)))
+    Xw = np.asarray(camera.backproject(jnp.asarray(uv), jnp.asarray(depth), FX, FY, CX, CY))
+    y = (T_true[:3, :3] @ Xw.T).T + T_true[:3, 3]
+    uv_cur = np.asarray(camera.project(jnp.asarray(y), FX, FY, CX, CY))
+    flow = (uv_cur - uv + rng.normal(0, 0.05, (N, 2))).astype(np.float32)
+    n_out = int(outlier_frac * n_valid)
+    flow[:n_out] += rng.normal(0, 20.0, (n_out, 2))
+    return uv, flow, depth, valid, T_true
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_pallas_matches_xla(seed):
+    uv, flow, depth, valid, T_true = _make_problem(seed)
+    p = FlowBAParams(iters=40)
+    Twl = jnp.eye(4)
+    T0 = jnp.eye(4)
+    args = (T0, Twl, jnp.asarray(uv), jnp.asarray(flow), jnp.asarray(depth),
+            jnp.asarray(valid), FX, FY, CX, CY)
+    ref = solve_flow_ba(*args, params=p)
+    out = solve_flow_ba_pallas(*args, params=p, interpret=True)
+
+    # both must recover the true pose
+    err_ref = np.linalg.norm(np.asarray(ref.T)[:3, 3] - T_true[:3, 3])
+    err_pal = np.linalg.norm(np.asarray(out.T)[:3, 3] - T_true[:3, 3])
+    assert err_ref < 5e-3
+    assert err_pal < 5e-3
+    # and agree with each other to float32 reduction tolerance
+    np.testing.assert_allclose(np.asarray(out.T), np.asarray(ref.T), atol=2e-4)
+    assert abs(int(out.n_inliers) - int(ref.n_inliers)) <= 2
+    np.testing.assert_allclose(
+        float(out.mean_reproj), float(ref.mean_reproj), rtol=0.05, atol=1e-4
+    )
+
+
+def test_pallas_vmapped():
+    """Batched solves (the object path vmaps over slots/streams)."""
+    problems = [_make_problem(s, N=128, n_valid=100) for s in (1, 2, 7)]
+    T0 = jnp.stack([jnp.eye(4)] * 3)
+    uv = jnp.stack([jnp.asarray(p[0]) for p in problems])
+    flow = jnp.stack([jnp.asarray(p[1]) for p in problems])
+    depth = jnp.stack([jnp.asarray(p[2]) for p in problems])
+    valid = jnp.stack([jnp.asarray(p[3]) for p in problems])
+    p = FlowBAParams(iters=30)
+    Twl = jnp.eye(4)
+
+    solve = jax.vmap(
+        lambda t0, u, f, d, v: solve_flow_ba_pallas(
+            t0, Twl, u, f, d, v, FX, FY, CX, CY, params=p, interpret=True
+        )
+    )
+    out = solve(T0, uv, flow, depth, valid)
+    for k, (_, _, _, _, T_true) in enumerate(problems):
+        err = np.linalg.norm(np.asarray(out.T[k])[:3, 3] - T_true[:3, 3])
+        assert err < 1e-2, (k, err)
+
+
+def test_pallas_rejects_unaligned():
+    with pytest.raises(ValueError):
+        solve_flow_ba_pallas(
+            jnp.eye(4), jnp.eye(4), jnp.zeros((100, 2)), jnp.zeros((100, 2)),
+            jnp.ones((100,)), jnp.ones((100,), bool), FX, FY, CX, CY,
+            interpret=True,
+        )
