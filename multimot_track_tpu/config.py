@@ -122,6 +122,14 @@ class SolverConfig:
     # the batched analog of g2o's per-round outlier levels)
     obj_reclassify_rounds: int = 2
     refine_gn_iters: int = 10       # polish best hypothesis on inliers
+    # --- depth-variance weighting of the ego reprojection edges: info
+    # scale 1/(1 + (z/z0)^2), the reference's own noise model sigma_z ~ z^2
+    # (Frame.cc:1089) turned into inverse-variance weights.  Measured: far
+    # (z>15 m) provided-disparity depth is ~5% over-estimated on kitti and
+    # stretches the translation scale +2% (tools/diag_scale_bias.py);
+    # weighting removes the bias without discarding far points' rotation
+    # information.  0 disables. ---
+    cam_depth_weight_z0: float = 15.0
     # --- flow-BA backend: "auto" = the fused Pallas LM kernel on TPU
     # (solvers/flow_ba_pallas.py, 4.8x on the batched object path), pure
     # XLA elsewhere; "xla"/"pallas" force one side ---

@@ -150,18 +150,26 @@ def track_pair(
         first-order per-frame depth bias (the reference's dormant
         PoseOptimizationForBack idea, src/Optimizer.cc:2889, done as two
         Schur solves + averaging)."""
+        z0 = sol.cam_depth_weight_z0
+        w_fwd = 1.0 / (1.0 + (pair.st_depth / z0) ** 2) if z0 > 0 else None
         res_f = solve_flow_ba_auto(
             T_init, Twl, pair.st_uv, pair.st_flow, pair.st_depth, subset,
             fx, fy, cx, cy, params=cam_params, backend=sol.flow_ba_backend,
+            point_weight=w_fwd,
         )
         if not sol.symmetric_cam:
             return res_f.T, res_f
         rel_f = res_f.T @ se3.inverse(ctx.Tcw_last)        # last cam -> cur cam
         bwd_sub = subset & (pair.st_cur_depth > 0)
+        w_bwd = (
+            1.0 / (1.0 + (jnp.maximum(pair.st_cur_depth, 0.0) / z0) ** 2)
+            if z0 > 0 else None
+        )
         bwd_res = solve_flow_ba_auto(
             se3.inverse(rel_f), jnp.eye(4, dtype=res_f.T.dtype),
             pair.st_cur_uv, -pair.st_flow, pair.st_cur_depth, bwd_sub,
             fx, fy, cx, cy, params=cam_params, backend=sol.flow_ba_backend,
+            point_weight=w_bwd,
         )
         rel_b = se3.inverse(bwd_res.T)                     # last cam -> cur cam
         xi = 0.5 * (se3.log_se3(rel_f) + se3.log_se3(rel_b))

@@ -55,15 +55,21 @@ class FlowBAResult(NamedTuple):
     mean_reproj: jnp.ndarray  # () mean sqrt(chi2) over inliers (repro_e)
 
 
-def _residual_chi2(T, f, Xw, obs, flow_meas, valid, p: FlowBAParams, fx, fy, cx, cy):
-    """Robustified total objective F and raw per-point chi2."""
+def _residual_chi2(T, f, Xw, obs, flow_meas, valid, p: FlowBAParams, fx, fy, cx, cy,
+                   w_pt=1.0):
+    """Robustified total objective F and raw per-point chi2.
+
+    ``w_pt`` scales each reprojection edge's information (per-point
+    inverse-variance weight); the returned chi2 is the *unweighted*
+    reference quantity so the inlier gate keeps its semantics."""
     y = se3.transform(T, Xw)
     r_p = (obs + f) - camera.project(y, fx, fy, cx, cy)
     chi2_p = p.reproj_info * jnp.sum(r_p * r_p, axis=-1)
+    chi2_w = w_pt * chi2_p
     # Huber(rho) with delta^2 = rp_thres (deltaMono = sqrt(rp_thres))
     d2 = p.rp_thres
     rho = jnp.where(
-        chi2_p <= d2, chi2_p, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2_p, 1e-20)) - d2
+        chi2_w <= d2, chi2_w, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2_w, 1e-20)) - d2
     )
     r_f = f - flow_meas
     chi2_f = p.prior_info * jnp.sum(r_f * r_f, axis=-1)
@@ -71,22 +77,23 @@ def _residual_chi2(T, f, Xw, obs, flow_meas, valid, p: FlowBAParams, fx, fy, cx,
     return F, chi2_p
 
 
-def _build_and_solve(T, f, Xw, obs, flow_meas, valid, lam, p: FlowBAParams, fx, fy, cx, cy):
+def _build_and_solve(T, f, Xw, obs, flow_meas, valid, lam, p: FlowBAParams, fx, fy, cx, cy,
+                     w_pt=1.0):
     """One damped Gauss-Newton step via analytic Schur elimination of flow."""
     y = se3.transform(T, Xw)                      # (N, 3) camera-frame points
     uv_hat = camera.project(y, fx, fy, cx, cy)
     r_p = (obs + f) - uv_hat                      # (N, 2)
     r_f = f - flow_meas
 
-    # robust IRLS weight rho'(chi2) on the projection edge
-    chi2_p = p.reproj_info * jnp.sum(r_p * r_p, axis=-1)
+    # robust IRLS weight rho'(chi2) on the (w_pt-weighted) projection edge
+    chi2_p = w_pt * p.reproj_info * jnp.sum(r_p * r_p, axis=-1)
     w_rob = jnp.where(
         chi2_p <= p.rp_thres,
         1.0,
         jnp.sqrt(p.rp_thres / jnp.maximum(chi2_p, 1e-20)),
     )
     vw = jnp.where(valid, w_rob, 0.0)
-    wp = p.reproj_info * vw                       # effective scalar info per point
+    wp = w_pt * p.reproj_info * vw                # effective scalar info per point
     wf = p.prior_info * jnp.where(valid, 1.0, 0.0)
 
     # d r_p / d xi  (left-multiplicative update T <- exp(xi) T, xi=(omega, ups))
@@ -151,6 +158,7 @@ def solve_flow_ba(
     cx: float,
     cy: float,
     params: FlowBAParams = FlowBAParams(),
+    point_weight=None,
 ) -> FlowBAResult:
     """Solve for the pose P minimizing the flow-aware objective.
 
@@ -158,24 +166,27 @@ def solve_flow_ba(
     camera solve it is Tcw of the current frame; for an object solve it is
     ``Tcw_cur @ H_world`` whose H is recovered by the caller
     (src/Tracking.cc:2127-2129).
+
+    ``point_weight`` (N,) optionally scales each reprojection edge's
+    information matrix (per-point inverse-variance weighting, e.g. the
+    depth-noise model sigma_z ~ z^2, Frame.cc:1089).  The returned chi2 /
+    inlier gate stay unweighted for reference parity.
     """
     p = params
+    w_pt = 1.0 if point_weight is None else point_weight
     Xw = se3.transform(Twl, camera.backproject(obs, depth, fx, fy, cx, cy))
     valid = valid & (depth > 0)
     f0 = flow_meas
-    F0, _ = _residual_chi2(T_init, f0, Xw, obs, flow_meas, valid, p, fx, fy, cx, cy)
+    F0, _ = _residual_chi2(T_init, f0, Xw, obs, flow_meas, valid, p, fx, fy, cx, cy,
+                           w_pt=w_pt)
 
-    # initial lambda = tau * max diag(H) (g2o OptimizationAlgorithmLevenberg)
-    dxi0, _, _ = _build_and_solve(
-        T_init, f0, Xw, obs, flow_meas, valid, 0.0, p, fx, fy, cx, cy
-    )
-    del dxi0
     y0 = se3.transform(T_init, Xw)
 
+    # initial lambda = tau * max diag(H) (g2o OptimizationAlgorithmLevenberg)
     def diag_seed():
         z = jnp.maximum(y0[..., 2], 1e-6)
         scale = (fx / z) ** 2 + (fy / z) ** 2
-        return jnp.max(jnp.where(valid, p.reproj_info * scale, 0.0))
+        return jnp.max(jnp.where(valid, w_pt * p.reproj_info * scale, 0.0))
 
     lam0 = p.tau * jnp.maximum(diag_seed(), 1.0)
 
@@ -184,11 +195,12 @@ def solve_flow_ba(
     def body(state):
         it, T, f, F, lam, nu, done = state
         dxi, df, pred = _build_and_solve(
-            T, f, Xw, obs, flow_meas, valid, lam, p, fx, fy, cx, cy
+            T, f, Xw, obs, flow_meas, valid, lam, p, fx, fy, cx, cy, w_pt=w_pt
         )
         T_new = se3.exp_se3(dxi) @ T
         f_new = f + df
-        F_new, _ = _residual_chi2(T_new, f_new, Xw, obs, flow_meas, valid, p, fx, fy, cx, cy)
+        F_new, _ = _residual_chi2(T_new, f_new, Xw, obs, flow_meas, valid, p, fx, fy, cx, cy,
+                                  w_pt=w_pt)
         gain = (F - F_new) / jnp.maximum(pred, 1e-20)
         accept = (F_new < F) & jnp.isfinite(F_new)
         # Nielsen's update (as in g2o's Levenberg strategy)
@@ -226,6 +238,7 @@ def solve_flow_ba(
 def solve_flow_ba_auto(
     T_init, Twl, obs, flow_meas, depth, valid, fx, fy, cx, cy,
     params: FlowBAParams = FlowBAParams(), backend: str = "auto",
+    point_weight=None,
 ) -> FlowBAResult:
     """Backend dispatch: the fused Pallas kernel on TPU, XLA elsewhere.
 
@@ -246,11 +259,11 @@ def solve_flow_ba_auto(
 
         return solve_flow_ba_pallas(
             T_init, Twl, obs, flow_meas, depth, valid, fx, fy, cx, cy,
-            params=params,
+            params=params, point_weight=point_weight,
         )
     return solve_flow_ba(
         T_init, Twl, obs, flow_meas, depth, valid, fx, fy, cx, cy,
-        params=params,
+        params=params, point_weight=point_weight,
     )
 
 

@@ -121,7 +121,7 @@ def _make_kernel(p: FlowBAParams, fx, fy, cx, cy):
     wf0 = p.prior_info
     d2 = p.rp_thres
 
-    def kernel(tin_ref, xw_ref, obs_ref, fm_ref, val_ref,
+    def kernel(tin_ref, xw_ref, obs_ref, fm_ref, val_ref, wpt_ref,
                tout_ref, fout_ref, chi2_ref, stats_ref):
         X0 = xw_ref[0]
         X1 = xw_ref[1]
@@ -131,6 +131,7 @@ def _make_kernel(p: FlowBAParams, fx, fy, cx, cy):
         fm0 = fm_ref[0]
         fm1 = fm_ref[1]
         vmask = val_ref[0]                      # (R, 128) 0/1 float
+        wpt = wpt_ref[0]                        # per-point info scale
         wf = wf0 * vmask
 
         T0 = [[tin_ref[0, 4 * i + j] for j in range(3)] for i in range(3)]
@@ -148,11 +149,11 @@ def _make_kernel(p: FlowBAParams, fx, fy, cx, cy):
             iz = 1.0 / (y2 + 1e-9)
             r0 = (ob0 + f0) - (fx * y0 * iz + cx)
             r1 = (ob1 + f1) - (fy * y1 * iz + cy)
-            chi2p = wp0 * (r0 * r0 + r1 * r1)
+            chi2w = wpt * wp0 * (r0 * r0 + r1 * r1)
             rho = jnp.where(
-                chi2p <= d2,
-                chi2p,
-                2.0 * jnp.sqrt(d2 * jnp.maximum(chi2p, 1e-20)) - d2,
+                chi2w <= d2,
+                chi2w,
+                2.0 * jnp.sqrt(d2 * jnp.maximum(chi2w, 1e-20)) - d2,
             )
             rf0 = f0 - fm0
             rf1 = f1 - fm1
@@ -163,7 +164,9 @@ def _make_kernel(p: FlowBAParams, fx, fy, cx, cy):
         y0i, y1i, y2i = transform(T0, t0)
         zi = jnp.maximum(y2i, 1e-6)
         scale = (fx / zi) ** 2 + (fy / zi) ** 2
-        lam0 = p.tau * jnp.maximum(jnp.max(jnp.where(vmask > 0, wp0 * scale, 0.0)), 1.0)
+        lam0 = p.tau * jnp.maximum(
+            jnp.max(jnp.where(vmask > 0, wpt * wp0 * scale, 0.0)), 1.0
+        )
 
         F0 = objective(T0, t0, fm0, fm1)
 
@@ -178,11 +181,11 @@ def _make_kernel(p: FlowBAParams, fx, fy, cx, cy):
             iz_r = 1.0 / (y2 + 1e-9)                       # residual projection
             r0 = (ob0 + f0) - (fx * y0 * iz_r + cx)
             r1 = (ob1 + f1) - (fy * y1 * iz_r + cy)
-            chi2p = wp0 * (r0 * r0 + r1 * r1)
+            chi2w = wpt * wp0 * (r0 * r0 + r1 * r1)
             w_rob = jnp.where(
-                chi2p <= d2, 1.0, jnp.sqrt(d2 / jnp.maximum(chi2p, 1e-20))
+                chi2w <= d2, 1.0, jnp.sqrt(d2 / jnp.maximum(chi2w, 1e-20))
             )
-            wp = wp0 * w_rob * vmask
+            wp = wpt * wp0 * w_rob * vmask
 
             iz = 1.0 / jnp.maximum(y2, 1e-6)               # Jacobian projection
             a = fx * iz
@@ -366,6 +369,7 @@ def solve_flow_ba_pallas(
     cy: float,
     params: FlowBAParams = FlowBAParams(),
     interpret: bool = False,
+    point_weight=None,
 ) -> FlowBAResult:
     """Drop-in Pallas replacement for ``flow_ba.solve_flow_ba``.
 
@@ -382,10 +386,15 @@ def solve_flow_ba_pallas(
     valid = valid & (depth > 0)
 
     f32 = jnp.float32
+    if point_weight is None:
+        wpt = jnp.ones((N,), f32)
+    else:
+        wpt = jnp.broadcast_to(jnp.asarray(point_weight, f32), (N,))
     xw_pl = Xw.T.reshape(3, R, _LANES).astype(f32)
     obs_pl = obs.T.reshape(2, R, _LANES).astype(f32)
     fm_pl = flow_meas.T.reshape(2, R, _LANES).astype(f32)
     val_pl = valid.reshape(1, R, _LANES).astype(f32)
+    wpt_pl = wpt.reshape(1, R, _LANES)
     tin = jnp.zeros((1, _LANES), f32).at[0, :16].set(T_init.reshape(16).astype(f32))
 
     kern = _make_kernel(p, float(fx), float(fy), float(cx), float(cy))
@@ -398,15 +407,15 @@ def solve_flow_ba_pallas(
             jax.ShapeDtypeStruct((R, _LANES), f32),
             jax.ShapeDtypeStruct((1, _LANES), f32),
         ),
-        in_specs=[vspec] * 5,
+        in_specs=[vspec] * 6,
         out_specs=(vspec, vspec, vspec, vspec),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=p.iters * N * 120,
-            bytes_accessed=(10 * N + 4 * _LANES) * 4,
+            bytes_accessed=(12 * N + 4 * _LANES) * 4,
             transcendentals=p.iters * 8,
         ),
-    )(tin, xw_pl, obs_pl, fm_pl, val_pl)
+    )(tin, xw_pl, obs_pl, fm_pl, val_pl, wpt_pl)
 
     T = tout[0, :16].reshape(4, 4)
     f = fout.reshape(2, N).T

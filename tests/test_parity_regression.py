@@ -18,11 +18,12 @@ def test_full_config_parity(kitti_sample_dir):
     seq = KittiSequence(kitti_sample_dir)
     sys_ = run_sequence(seq, DEFAULT_CONFIG, n_frames=5)
     s = sys_.summary()
-    # measured round 2: cam 0.0506 / obj 0.062-0.072 across seeds / speed
-    # 0.037 (photometric gate + symmetric camera solve + object seed
-    # ensemble w/ composite consensus); gates sit just above the
-    # measurement so losing any of those improvements fails the suite
-    assert s["cam_t_rpe_rel_mean"] < 0.055, s
-    assert s["obj_t_rpe_rel_mean"] < 0.085, s
-    assert s["obj_speed_err_rel_mean"] < 0.06, s
+    # measured round 2: cam 0.0488 online (reference: 0.0496) / obj
+    # 0.061-0.072 across seeds / speed 0.0355 (photometric gate +
+    # symmetric camera solve + depth-variance weighting + object seed
+    # ensemble w/ composite consensus); gates sit between our measurement
+    # and the reference so losing the head-to-head fails the suite
+    assert s["cam_t_rpe_rel_mean"] < 0.0496, s
+    assert s["obj_t_rpe_rel_mean"] < 0.080, s
+    assert s["obj_speed_err_rel_mean"] < 0.055, s
     assert s["n_obj_estimates"] == 4
