@@ -43,19 +43,32 @@ class StaticSamples(NamedTuple):
 
 
 def compact(valid: jnp.ndarray, n_max: int, *payloads):
-    """Scatter entries where ``valid`` into the first slots of length-n_max
-    arrays (stable order).  Returns (n_valid, mask, *packed)."""
+    """Compact entries where ``valid`` into the first slots of length-n_max
+    arrays (stable order).  Returns (n_valid, mask, *packed).
+
+    Implemented as one argsort + gathers: scatters serialize on TPU
+    (measured ~10 ms for the 29k-point dense-object grid via
+    ``.at[tgt].set``), while a 29k int32 sort plus payload gathers runs in
+    tens of microseconds.  Key = original index, biased by +n for invalid
+    entries, so valid entries come first in original (row-major) order —
+    the ordering the reference's growing std::vectors produce."""
     valid = valid.reshape(-1)
-    slots = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    tgt = jnp.where(valid, slots, n_max)  # invalid -> dropped
+    n = valid.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(valid, idx, idx + jnp.int32(n))
+    order = jnp.argsort(key)
+    if n >= n_max:
+        take = order[:n_max]
+    else:
+        take = jnp.concatenate(
+            [order, jnp.zeros((n_max - n,), jnp.int32)]
+        )
     n_valid = jnp.sum(valid.astype(jnp.int32))
     out_mask = jnp.arange(n_max) < n_valid
     packed = []
     for p in payloads:
-        p = p.reshape((valid.shape[0],) + p.shape[valid.ndim :]) if p.ndim > 1 else p.reshape(-1)
-        flat = p.reshape(valid.shape[0], -1)
-        out = jnp.zeros((n_max, flat.shape[1]), flat.dtype)
-        out = out.at[tgt].set(flat, mode="drop")
+        flat = p.reshape(n, -1)
+        out = jnp.where(out_mask[:, None], flat[take], 0).astype(flat.dtype)
         packed.append(out.reshape((n_max,) + p.shape[1:]))
     return n_valid, out_mask, *packed
 
@@ -96,17 +109,32 @@ def sample_dense_objects(
     )
     uv = jnp.stack([xs, ys], axis=-1).reshape(-1, 2)
     corres = jnp.stack([nx, ny], axis=-1).reshape(-1, 2)
-    _, mask, uv_p, d_p, l_p, f_p, c_p = compact(
-        valid, n_max, uv, d.reshape(-1), lab.reshape(-1), f.reshape(-1, 2), corres
-    )
+    P = (2 * patch_radius + 1) ** 2
     if gray is None:
-        patch = jnp.zeros((n_max, (2 * patch_radius + 1) ** 2), jnp.float32)
+        patch_grid = jnp.zeros((uv.shape[0], P), jnp.float32)
     else:
-        from multimot_track_tpu.ops import photometric
-
-        patch = photometric.extract_patches(
-            gray.astype(jnp.float32), uv_p, patch_radius
-        )
+        # grid points sit at integer, stride-`step` positions, so every
+        # patch tap is a strided SLICE of the (padded) image — 25 slices
+        # for the whole grid instead of 8192 x 25 random gathers (the
+        # gather path measured ~7-9 ms/frame on v5e; this is ~us)
+        r = patch_radius
+        g = jnp.pad(gray.astype(jnp.float32), r, mode="edge")
+        Hg, Wg = yy.shape
+        taps = [
+            jax.lax.slice(
+                g,
+                (r + dy, r + dx),
+                (r + dy + (Hg - 1) * step + 1, r + dx + (Wg - 1) * step + 1),
+                (step, step),
+            )
+            for dy in range(-r, r + 1)
+            for dx in range(-r, r + 1)
+        ]
+        patch_grid = jnp.stack(taps, axis=-1).reshape(-1, P)
+    _, mask, uv_p, d_p, l_p, f_p, c_p, patch = compact(
+        valid, n_max, uv, d.reshape(-1), lab.reshape(-1), f.reshape(-1, 2),
+        corres, patch_grid,
+    )
     return ObjSamples(uv=uv_p, depth=d_p, label=l_p, flow=f_p, corres=c_p,
                       valid=mask, patch=patch)
 

@@ -35,9 +35,16 @@ from multimot_track_tpu.eval import metrics
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def frontend_batch(gray_u8, depth_u16, flow_i16, sem_u8, gts, cfg: PipelineConfig):
-    """Stacked images (F, H, W[, 2]) -> stacked FrameObservations."""
+    """Stacked images (F, H, W[, 2]) -> stacked FrameObservations.
 
-    def one(g, d, fl, s, gt):
+    ``lax.map`` rather than ``vmap``: batching the frontend's image
+    gathers/top-k makes XLA:TPU pick slower batched-gather lowerings
+    (measured 13.2 ms/frame vmapped vs 5.7 ms/frame for the single-frame
+    program); the frontend runs once per sequence chunk, so a sequential
+    device loop of efficient per-frame programs wins."""
+
+    def one(args):
+        g, d, fl, s, gt = args
         return F.build_frame_observation(
             g.astype(jnp.float32),
             d.astype(jnp.float32),
@@ -47,7 +54,7 @@ def frontend_batch(gray_u8, depth_u16, flow_i16, sem_u8, gts, cfg: PipelineConfi
             cfg,
         )
 
-    return jax.vmap(one)(gray_u8, depth_u16, flow_i16, sem_u8, gts)
+    return jax.lax.map(one, (gray_u8, depth_u16, flow_i16, sem_u8, gts))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -154,6 +154,30 @@ def characterize_track_pairs(frames, cfg, n_pairs=4):
     )
 
 
+def characterize_frontend(frames, cfg, n_frames=5):
+    from multimot_track_tpu.pipeline import batch as B_
+    from multimot_track_tpu.pipeline import frames as F
+
+    K = cfg.padding.k_obj_max
+    sub = frames[:n_frames]
+    gray = jnp.asarray(np.stack([np.clip(np.round(f.gray), 0, 255).astype(np.uint8) for f in sub]))
+    depth = jnp.asarray(np.stack([np.clip(f.depth_raw, 0, 65535).astype(np.uint16) for f in sub]))
+    flow = jnp.asarray(np.stack([np.clip(f.flow * 128.0, -32767, 32767).astype(np.int16) for f in sub]))
+    sem = jnp.asarray(np.stack([np.clip(f.sem_mask, 0, 255).astype(np.uint8) for f in sub]))
+    gts = [F.make_gt_table(f.pose_gt, f.obj_ids_gt, f.obj_poses_gt, K) for f in sub]
+    gt_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *gts)
+
+    def fn_one(tok, g):
+        return B_.frontend_batch(g + tok.astype(jnp.uint8), depth, flow, sem, gt_stack, cfg)
+
+    sec, _ = timed_scan(fn_one, gray, reps=8)
+    return dict(
+        program="frontend_batch (FAST pyramid + sampling + patches)",
+        n_frames=n_frames,
+        device_ms_per_frame=round(sec * 1e3 / n_frames, 3),
+    )
+
+
 def characterize_flow_ba(cfg):
     from multimot_track_tpu.solvers.flow_ba import (
         FlowBAParams, solve_flow_ba, solve_flow_ba_auto)
@@ -265,6 +289,8 @@ def main():
     out = {"device": str(jax.devices()[0])}
     out["track_pairs"] = characterize_track_pairs(frames, cfg)
     print(json.dumps(out["track_pairs"]), flush=True)
+    out["frontend"] = characterize_frontend(frames, cfg)
+    print(json.dumps(out["frontend"]), flush=True)
     out["flow_ba"] = characterize_flow_ba(cfg)
     print(json.dumps(out["flow_ba"]), flush=True)
     out["matcher"] = characterize_matcher()
