@@ -52,6 +52,12 @@ def main(argv=None):
         help="mask-free mode: synthesize instance masks from motion "
              "segmentation instead of reading semantic/",
     )
+    ap.add_argument(
+        "--tum", action="store_true",
+        help="sequence is a TUM RGB-D download (rgb.txt/depth.txt/"
+             "groundtruth.txt); intrinsics auto-detected, flow estimated "
+             "on device (the reference's rgbd_tum driver cannot run these)",
+    )
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -74,7 +80,14 @@ def main(argv=None):
     if args.mono:
         return run_mono(args, cfg)
 
-    if args.stereo:
+    if args.tum:
+        import dataclasses
+
+        from multimot_track_tpu.io.tum import TumRGBDSequence
+
+        seq = TumRGBDSequence(args.sequence)
+        cfg = dataclasses.replace(cfg, camera=seq.camera_config())
+    elif args.stereo:
         from multimot_track_tpu.io.stereo_seq import StereoKittiSequence
 
         seq = StereoKittiSequence(args.sequence)

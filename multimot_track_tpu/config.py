@@ -122,6 +122,16 @@ class SolverConfig:
     # the batched analog of g2o's per-round outlier levels)
     obj_reclassify_rounds: int = 2
     refine_gn_iters: int = 10       # polish best hypothesis on inliers
+    # --- camera-solve consensus pre-gate: restrict the flow-BA set to
+    # points within this reprojection radius of the init pose (RANSAC or
+    # motion model).  The reference protects its solves by EXCLUDING
+    # chi2-outliers between optimization rounds (Optimizer.cc:539-565,
+    # 4 rounds x 10 iters); without that exclusion a coherent near-object
+    # cluster (a large unmasked mover) can walk the Huber LM out of the
+    # static basin entirely (measured: 42 van points of 743 move the
+    # solve 0.5 m, tools notes in tests/test_maskless_ego.py).  6 px is
+    # ~4x the verified-flow noise and ~4x below a mover's discrepancy. ---
+    cam_init_consensus_px: float = 6.0
     # --- depth-variance weighting of the ego reprojection edges: info
     # scale 1/(1 + (z/z0)^2), the reference's own noise model sigma_z ~ z^2
     # (Frame.cc:1089) turned into inverse-variance weights.  Measured: far

@@ -33,6 +33,13 @@ def extract_patches(gray: jnp.ndarray, uv: jnp.ndarray, radius: int) -> jnp.ndar
     inside the image (the old path clamped each tap independently); points
     more than r+1 px from the border — everything the samplers produce —
     are bit-identical.
+
+    A Pallas VMEM-resident gather kernel was prototyped and rejected: this
+    environment's Mosaic toolchain crashes on any dynamic-start vector
+    load from VMEM (``ref[pl.ds(i, k)]`` even with the fori_loop index —
+    probed down to a minimal kernel), so random access must stay on the
+    XLA gather path.  Points on a regular grid avoid gathers entirely —
+    see frontend/sampling.sample_dense_objects' strided-slice patches.
     """
     H, W = gray.shape
     S = 2 * radius + 2                       # support width incl. +1 for blend

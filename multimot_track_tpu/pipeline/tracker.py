@@ -135,6 +135,17 @@ def track_pair(
     )
     use_mm_cam = ctx.velocity_valid & (n_mm_cam > rr.n_inliers)
     T_init_cam = jnp.where(use_mm_cam, MM_cam, rr.T)
+    if sol.cam_init_consensus_px > 0:
+        # consensus pre-gate (see SolverConfig.cam_init_consensus_px):
+        # drop points far from the init pose before the LM — the
+        # fixed-set equivalent of the reference's per-round outlier
+        # exclusion (Optimizer.cc:539-565)
+        inl0, n0 = ransac._count_inliers(
+            T_init_cam, Xw_st, pair.st_cur_uv, st_solve,
+            sol.cam_init_consensus_px, fx, fy, cx, cy,
+        )
+        st_solve = jnp.where(n0 >= sol.min_gated_static, st_solve & inl0,
+                             st_solve)
 
     cam_params = FlowBAParams(
         reproj_info=sol.reproj_info,

@@ -24,6 +24,19 @@ Nielsen lambda schedule as g2o's Levenberg strategy) — the parity test
 ``tests/test_flow_ba_pallas.py`` pins the two backends together.  The
 reduction order over points differs (plane-wise tree reduce vs XLA's),
 so agreement is to float32 tolerance, not bit-exact.
+
+TOOLCHAIN ERRATUM (axon-tunnelled v5e, jax 0.9 Mosaic, 2026-08): a
+SINGLE-instance execution of this kernel placed inside ``lax.scan``
+miscompiles — the while_loop's lambda seed reads corrupted input and the
+solve returns its init pose after one rejected step.  Verified-correct
+forms: direct/jit calls (any nesting except scan), ``vmap`` with batch
+>= 2 (including inside scan — the full tracker program under a scanned
+benchmark matches the XLA backend to 1e-6), and the framework's
+production paths, which are exactly those forms.  Minimal kernels
+reproducing each individual feature (array/bool/scalar while carries,
+3-D operands, transposed operands, scalar-row reads) all pass — the
+trigger is this kernel as a whole, batch size <= 1, under scan.  If you
+must scan an unbatched solve, use ``backend="xla"`` for it.
 """
 
 from __future__ import annotations

@@ -185,9 +185,21 @@ def characterize_flow_ba(cfg):
     cam = cfg.camera
     rng = np.random.default_rng(0)
     N = cfg.padding.n_static_max
+    # realistic problem (a pure-noise flow converges in 2-3 LM iterations
+    # and under-reports the per-iteration cost): true rigid motion, noisy
+    # flow, 10% gross outliers — the solver runs its full convergence arc
+    from multimot_track_tpu.geometry import camera as _camgeo, se3 as _se3
+
     uv = jnp.asarray(rng.uniform([100, 50], [cam.width - 100, cam.height - 50], (N, 2)).astype(np.float32))
     depth = jnp.asarray(rng.uniform(5, 30, (N,)).astype(np.float32))
-    flow = jnp.asarray(rng.normal(0, 2, (N, 2)).astype(np.float32))
+    xi = np.array([0.004, -0.01, 0.002, 0.3, -0.05, 1.1], np.float32)
+    T_true = _se3.exp_se3(jnp.asarray(xi))
+    Xw = _camgeo.backproject(uv, depth, cam.fx, cam.fy, cam.cx, cam.cy)
+    uv_cur = _camgeo.project(_se3.transform(T_true, Xw), cam.fx, cam.fy, cam.cx, cam.cy)
+    flow_np = np.asarray(uv_cur - uv) + rng.normal(0, 0.05, (N, 2)).astype(np.float32)
+    n_out = N // 10
+    flow_np[:n_out] += rng.normal(0, 20.0, (n_out, 2))
+    flow = jnp.asarray(flow_np.astype(np.float32))
     valid = jnp.ones(N, bool)
     params = FlowBAParams(iters=cfg.solver.cam_lm_iters)
     eye = jnp.eye(4)
@@ -201,22 +213,32 @@ def characterize_flow_ba(cfg):
 
     out = {}
     for backend in ("xla", "pallas"):
+        # batch of 2 via vmap: the Pallas kernel has a known single-
+        # instance-inside-scan miscompile on this toolchain (see
+        # solvers/flow_ba_pallas.py erratum); B=2 is a verified form and
+        # per-solve time = batch time / 2 for both backends
         def fn_one(tok, a, _b=backend):
             uv_, flow_, depth_, valid_ = a
-            return solve_flow_ba_auto(
-                eye, eye, uv_, flow_ + tok.astype(jnp.float32) * 1e-6,
-                depth_, valid_, cam.fx, cam.fy, cam.cx, cam.cy,
-                params=params, backend=_b,
-            ).T
+            f2 = jnp.stack([flow_ + tok.astype(jnp.float32) * 1e-6,
+                            flow_ + tok.astype(jnp.float32) * 2e-6])
+            return jax.vmap(
+                lambda f: solve_flow_ba_auto(
+                    eye, eye, uv_, f, depth_, valid_,
+                    cam.fx, cam.fy, cam.cx, cam.cy, params=params, backend=_b,
+                ).T
+            )(f2)
 
-        sec, _ = timed_scan(fn_one, args, reps=8)
+        # small program: needs a wide rep separation for the slope to rise
+        # above the tunnel's RTT jitter
+        sec2, _ = timed_scan(fn_one, args, reps=64, reps_hi=512)
+        sec = sec2 / 2.0
         out[backend] = dict(
             device_ms=round(sec * 1e3, 3),
             achieved_gflops=round(flops / sec / 1e9, 2),
             achieved_gbps=round(byts / sec / 1e9, 2),
             hbm_util=round(byts / sec / PEAK_HBM_BPS, 4),
         )
-    out["program"] = f"flow_ba N={N} iters={params.iters}"
+    out["program"] = f"flow_ba N={N} iters={params.iters} (B=2 vmap / 2)"
     return out
 
 
