@@ -33,6 +33,60 @@ from multimot_track_tpu.pipeline import tracker
 from multimot_track_tpu.eval import metrics
 
 
+# ---------------------------------------------------------------------------
+# Wire codec: the tunnel/host->device link is the serving bottleneck
+# (PERF.md), so the batch path ships flow as 12-bit fixed point (1/8 px,
+# +-256 px — kitti flow peaks at ~207 px and carries ~1 px noise, so
+# 0.125 px quantisation is invisible) and instance labels as 4-bit pairs.
+# 3.72 -> 3.03 MB/frame.  The first device op unpacks to the same f32/i32
+# tensors the rest of the pipeline always used.
+
+def pack_flow12(flow: np.ndarray) -> np.ndarray:
+    """(H, W, 2) float flow -> (H, W, 3) uint8 (two 12-bit values)."""
+    q = np.clip(np.round(np.nan_to_num(flow) * 8.0), -2048, 2047).astype(np.int32) + 2048
+    u, v = q[..., 0], q[..., 1]
+    return np.stack(
+        [(u >> 4), ((u & 15) << 4) | (v >> 8), v & 255], -1
+    ).astype(np.uint8)
+
+
+def unpack_flow12(p) -> jnp.ndarray:
+    """(..., H, W, 3) uint8 -> (..., H, W, 2) float32 flow."""
+    b = p.astype(jnp.int32)
+    u = (b[..., 0] << 4) | (b[..., 1] >> 4)
+    v = ((b[..., 1] & 15) << 8) | b[..., 2]
+    return (jnp.stack([u, v], -1) - 2048).astype(jnp.float32) * 0.125
+
+
+def pack_sem4(sem: np.ndarray) -> np.ndarray:
+    """(H, W) labels 0..15 -> (H, ceil(W/2)) uint8 nibble pairs."""
+    s = np.clip(sem, 0, 15).astype(np.uint8)
+    if s.shape[-1] % 2:
+        s = np.concatenate([s, np.zeros_like(s[..., :1])], -1)
+    return (s[..., 0::2] << 4) | s[..., 1::2]
+
+
+def unpack_sem4(p, width: int) -> jnp.ndarray:
+    """(..., H, ceil(W/2)) uint8 -> (..., H, W) int32 labels."""
+    b = p.astype(jnp.int32)
+    full = jnp.stack([b >> 4, b & 15], -1).reshape(p.shape[:-1] + (2 * p.shape[-1],))
+    return full[..., :width]
+
+
+def _decode_flow(flow):
+    """Accept int16 (x128 fixed point) or the packed 12-bit wire format."""
+    if flow.dtype == jnp.uint8 and flow.shape[-1] == 3:
+        return unpack_flow12(flow)
+    return flow.astype(jnp.float32) * (1.0 / 128.0)
+
+
+def _decode_sem(sem, width: int):
+    """Accept uint8 labels or the packed 4-bit wire format."""
+    if sem.shape[-1] != width:
+        return unpack_sem4(sem, width)
+    return sem.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def frontend_batch(gray_u8, depth_u16, flow_i16, sem_u8, gts, cfg: PipelineConfig):
     """Stacked images (F, H, W[, 2]) -> stacked FrameObservations.
@@ -43,13 +97,15 @@ def frontend_batch(gray_u8, depth_u16, flow_i16, sem_u8, gts, cfg: PipelineConfi
     program); the frontend runs once per sequence chunk, so a sequential
     device loop of efficient per-frame programs wins."""
 
+    W = cfg.camera.width
+
     def one(args):
         g, d, fl, s, gt = args
         return F.build_frame_observation(
             g.astype(jnp.float32),
             d.astype(jnp.float32),
-            fl.astype(jnp.float32) * (1.0 / 128.0),
-            s.astype(jnp.int32),
+            _decode_flow(fl),
+            _decode_sem(s, W),
             gt,
             cfg,
         )
@@ -81,7 +137,7 @@ def track_pairs(keys, prev_obs, cur_gray_u8, cur_depth_u16, cur_sem_u8, gt_cur,
         pair = F.build_pair(
             prev_rel,
             cur_depth.astype(jnp.float32),
-            cur_sem.astype(jnp.int32),
+            _decode_sem(cur_sem, cfg.camera.width),
             gt_cur_rel,
             cfg,
             cur_gray=cur_gray.astype(jnp.float32),
@@ -138,8 +194,8 @@ def run_sequence_batched(
     for fd in frame_list:
         grays.append(np.clip(np.round(fd.gray), 0, 255).astype(np.uint8))
         depths.append(np.clip(fd.depth_raw, 0, 65535).astype(np.uint16))
-        flows.append(np.clip(fd.flow * 128.0, -32767, 32767).astype(np.int16))
-        sems.append(np.clip(fd.sem_mask, 0, 255).astype(np.uint8))
+        flows.append(pack_flow12(fd.flow))
+        sems.append(pack_sem4(fd.sem_mask))
         gts.append(F.make_gt_table(fd.pose_gt, fd.obj_ids_gt, fd.obj_poses_gt, K))
     gray_u8 = jnp.asarray(np.stack(grays))
     depth_u16 = jnp.asarray(np.stack(depths))
