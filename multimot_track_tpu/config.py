@@ -90,10 +90,13 @@ class SolverConfig:
     lm_tau: float = 1e-5            # initial lambda = tau * max(diag H)
     # --- RANSAC initialisation (reference: Tracking.cc:4324-4443) ---
     ransac_iters: int = 500         # ego hypothesis count (Tracking.cc:4362)
-    # objects benefit from many more hypotheses than the reference's 500 —
-    # batched generation/scoring is nearly free on TPU and measurably
-    # improves the inlier subset (PARITY.md: object RPE 13% -> ~6%)
-    obj_ransac_iters: int = 2000
+    # objects benefit from more hypotheses than the reference's 500 —
+    # batched generation/scoring is cheap on TPU and measurably improves
+    # the inlier subset (PARITY.md: object RPE 13% -> ~6%); 1000 measured
+    # equal-or-better than 2000 once the 3-stream seed ensemble provides
+    # redundancy (obj 5.6% / speed 2.4% at 1000 vs 5.8% / 2.4% at 2000;
+    # 500 degrades to 6.0% / 4.1%)
+    obj_ransac_iters: int = 1000
     ransac_reproj_px: float = 0.3   # inlier reprojection gate (Tracking.cc:4363)
     # objects deviate from the reference's 0.3 px: flow on moving objects is
     # blurred, so 0.3 px keeps only 3-5% of points — too few/clustered to
@@ -115,6 +118,17 @@ class SolverConfig:
     # (candidates that overfit one witness). ---
     obj_ensemble: bool = True
     obj_ensemble_seeds: int = 3
+    # --- witness subsampling (device-time dominated by these two stages:
+    # ablated 144 ms/pair -> ~105 ms is ensemble consensus patch scoring,
+    # ~10 ms/stream is RANSAC hypothesis scoring over all members).  Both
+    # stages estimate PROPORTIONS (registered-member fraction; inlier
+    # count rank), so a strided subsample of the compacted members
+    # suffices: at 512 samples the proportion std-error is ~2%, far
+    # below the 5-10% inter-stream consensus gaps and the RANSAC ranking
+    # margins.  The winner's inlier set and all solves still use every
+    # member.  0 = use all members. ---
+    obj_ransac_score_pts: int = 512
+    obj_consensus_pts: int = 512
     obj_zncc_gate: float = 0.9      # member gate for photometric witnesses
     obj_consensus_zncc: float = 0.8  # patch-verification bar for scoring
     # after the first solve on the init-model inliers, re-classify ALL

@@ -305,16 +305,32 @@ def track_pair(
         has_prev = ctx.H_prev_valid[mode_lab]
         MM = Tcw_cur @ H_prev
 
+        M_pts = uv_o.shape[0]
+        S_r = sol.obj_ransac_score_pts
+        r_sub = (
+            slice(0, (M_pts // S_r) * S_r, M_pts // S_r)
+            if 0 < S_r < M_pts else slice(None)
+        )
+
         def solve_chain(kk):
             """The full init -> solve -> reclassify chain for one RANSAC
             stream (the reference path: GetInitModelObj + flow-BA +
-            per-round outlier levels, Optimizer.cc:2296-2360)."""
+            per-round outlier levels, Optimizer.cc:2296-2360).  Hypothesis
+            sampling+scoring runs on a strided member subsample
+            (SolverConfig.obj_ransac_score_pts); the winner's inlier set
+            is recomputed over ALL members."""
             rrk = ransac.ransac_rigid_pose(
-                kk, Xp_o, cur_uv_o, xyz_o, memb,
+                kk, Xp_o[r_sub], cur_uv_o[r_sub], xyz_o[r_sub], memb[r_sub],
                 fx, fy, cx, cy,
                 thresh=sol.obj_ransac_reproj_px, iters=sol.obj_ransac_iters,
                 refine_iters=sol.refine_gn_iters,
             )
+            if r_sub != slice(None):
+                inl_f, n_f = ransac._count_inliers(
+                    rrk.T, Xp_o, cur_uv_o, memb, sol.obj_ransac_reproj_px,
+                    fx, fy, cx, cy,
+                )
+                rrk = ransac.RansacResult(T=rrk.T, inliers=inl_f, n_inliers=n_f)
             # motion-model alternative (GetInitModelObj, Tracking.cc:4377-4436)
             inl_mm, n_mm = ransac._count_inliers(
                 MM, Xp_o, cur_uv_o, memb, sol.obj_ransac_reproj_px,
@@ -351,16 +367,27 @@ def track_pair(
             kks = jax.random.split(k_rng, sol.obj_ensemble_seeds)
             T_s, n_s, sub_s, nsub_s = jax.vmap(solve_chain)(kks)
 
+            S_c = sol.obj_consensus_pts
+            c_sub = (
+                slice(0, (M_pts // S_c) * S_c, M_pts // S_c)
+                if 0 < S_c < M_pts else slice(None)
+            )
+            Xp_c, xyz_c = Xp_o[c_sub], xyz_o[c_sub]
+            patch_c, memb_c, depth_c = patch_o[c_sub], memb[c_sub], depth_o[c_sub]
+
             def consensus(P):
-                Xc = se3.transform(P, Xp_o)
+                # witness proportion on a strided member subsample
+                # (SolverConfig.obj_consensus_pts) — the dominant device
+                # cost before subsampling was this patch gather
+                Xc = se3.transform(P, Xp_c)
                 uvp = camera.project(Xc, fx, fy, cx, cy)
                 pc = photometric.extract_patches(pair.cur_gray, uvp, r_patch)
-                sp = photometric.zncc(patch_o, pc)
-                d3 = jnp.linalg.norm(Xc - xyz_o, axis=-1)
-                gate = 0.1 + 0.002 * depth_o ** 2
+                sp = photometric.zncc(patch_c, pc)
+                d3 = jnp.linalg.norm(Xc - xyz_c, axis=-1)
+                gate = 0.1 + 0.002 * depth_c ** 2
                 ok = (
                     (sp > sol.obj_consensus_zncc) & (d3 < gate)
-                    & memb & (depth_o > 0)
+                    & memb_c & (depth_c > 0)
                 )
                 return jnp.sum(ok.astype(jnp.int32))
 

@@ -3,9 +3,9 @@
 Quantifies, on the real TPU:
 
   1. device-resident throughput of the full per-pair tracker program
-     (pipeline/batch.track_pairs): inputs uploaded once, 20 executions
-     queued asynchronously, one final block — amortises the tunnel's
-     dispatch latency so the number approaches pure device time;
+     (pipeline/batch.track_pairs): slope-timed lax.scan with every output
+     leaf live (see timed_scan) so neither tunnel latency nor XLA dead-code
+     elimination can distort the number;
   2. XLA cost analysis of that compiled program: FLOPs and HBM bytes per
      pair, achieved GFLOP/s and GB/s against TPU v5e peaks
      (197 TFLOP/s bf16 MXU, 819 GB/s HBM) — this pipeline is a
@@ -76,9 +76,13 @@ def timed_scan(fn_one, args, reps=8, outer=3, reps_hi=None):
         def prog(tok0, args):
             def body(tok, i):
                 out = fn_one(tok + i, args)
-                leaves = [x for x in jax.tree_util.tree_leaves(out)
-                          if jnp.issubdtype(x.dtype, jnp.floating)]
-                acc = sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+                # sum EVERY leaf (ints/bools included): any output left out
+                # of the carry is dead code the compiler deletes, and the
+                # "measurement" silently covers only the surviving slice —
+                # this exact bug once reported the ego-only slice (1.1 ms)
+                # as the full tracker (then ~144 ms)
+                acc = sum(jnp.sum(x.astype(jnp.float32))
+                          for x in jax.tree_util.tree_leaves(out))
                 return tok + 1 + (acc.astype(jnp.int32) & 1), acc
 
             _, accs = jax.lax.scan(body, tok0, jnp.arange(nreps, dtype=jnp.int32))
@@ -130,10 +134,13 @@ def characterize_track_pairs(frames, cfg, n_pairs=4):
     ca = B_.track_pairs.lower(*args, cfg_xla).compile().cost_analysis() or {}
 
     def fn_one(tok, a):
+        # return the FULL PairResult: timed_scan keeps every leaf live, so
+        # nothing (object ensemble, consensus, segmentation, metrics) is
+        # dead-code-eliminated out of the timed program
         keys_, prev_, g_, d_, s_, gt_ = a
         return B_.track_pairs(
             keys_ + tok.astype(keys_.dtype), prev_, g_, d_, s_, gt_, cfg
-        ).Tcw_cur
+        )
 
     sec, _ = timed_scan(fn_one, args, reps=8)
     flops = float(ca.get("flops", 0.0))
