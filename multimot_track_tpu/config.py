@@ -221,6 +221,18 @@ class BackendConfig:
     # se(3) information of the online per-pair poses fused as odometry
     # prior edges (solvers/window_ba.WindowBAParams.odo_prior_weight)
     odo_prior_weight: float = 2500.0
+    # TrackLocalMap (src/Tracking.cc:3189): per-frame pose refinement
+    # against the accumulated keyframe map points (projection-guided
+    # descriptor matching -> GN with inlier reclassification).  The
+    # refined pose replaces the flow pose only past the acceptance gates
+    # below; see pipeline/system._track_local_map for the measurement
+    # that set the default.
+    track_local_map: bool = True
+    local_map_kfs: int = 3            # newest keyframes forming the local map
+    local_map_radius_px: float = 12.0 # projection search radius
+    local_map_thresh_px: float = 3.0  # inlier gate for the GN rounds
+    local_map_min_inliers: int = 40   # accept only well-constrained refinements
+    local_map_max_corr_m: float = 0.5 # reject corrections larger than this
 
 
 @dataclasses.dataclass(frozen=True)

@@ -15,14 +15,133 @@ graph (LoopClosing::ComputeSim3/CorrectLoop).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from multimot_track_tpu.geometry import camera as cam_g
+from multimot_track_tpu.geometry import se3
 from multimot_track_tpu.ops import matching
 from multimot_track_tpu.solvers import pnp, pose_graph, sim3
+from multimot_track_tpu.solvers.ransac import _count_inliers
+
+
+def _gn_refine_stereo(T, Xw, uv_obs, disp_obs, w, w_disp, iters, fx, fy, cx, cy, bf):
+    """Weighted GN on the stereo reprojection residual (u, v, disparity)
+    — the reference's stereo PoseOptimization edge
+    (EdgeStereoSE3ProjectXYZOnlyPose: e = (u, v, u - fx*b/z) residuals,
+    src/Optimizer.cc:3221-3260).  The disparity row constrains the
+    forward axis that pure 2D reprojection leaves soft; ``w_disp``
+    carries the per-point depth-variance weight (disparity error grows
+    with range exactly as the repo's ego depth weighting models)."""
+
+    def step(_, T):
+        y = se3.transform(T, Xw)
+        z = jnp.maximum(y[..., 2], 1e-6)
+        inv_z = 1.0 / z
+        r_uv = cam_g.project(y, fx, fy, cx, cy) - uv_obs          # (N, 2)
+        r_d = bf * inv_z - disp_obs                               # (N,)
+        zero = jnp.zeros_like(z)
+        dpi = jnp.stack(
+            [
+                jnp.stack([fx * inv_z, zero, -fx * y[..., 0] * inv_z * inv_z], -1),
+                jnp.stack([zero, fy * inv_z, -fy * y[..., 1] * inv_z * inv_z], -1),
+                jnp.stack([zero, zero, -bf * inv_z * inv_z], -1),
+            ],
+            axis=-2,
+        )                                                          # (N, 3, 3)
+        dy = jnp.concatenate(
+            [-se3.hat(y), jnp.broadcast_to(jnp.eye(3, dtype=y.dtype), y.shape[:-1] + (3, 3))],
+            axis=-1,
+        )                                                          # (N, 3, 6)
+        J = jnp.einsum("nij,njk->nik", dpi, dy)                    # (N, 3, 6)
+        r = jnp.concatenate([r_uv, r_d[..., None]], axis=-1)       # (N, 3)
+        wr = jnp.stack([w, w, w * w_disp], axis=-1)                # (N, 3)
+        H = jnp.einsum("nia,nib,ni->ab", J, J, wr) + 1e-6 * jnp.eye(6, dtype=T.dtype)
+        g = jnp.einsum("nia,ni,ni->a", J, r, wr)
+        from multimot_track_tpu.geometry import smallsolve
+
+        dxi = smallsolve.solve_spd6(H, -g)
+        return se3.exp_se3(dxi) @ T
+
+    return jax.lax.fori_loop(0, iters, step, T)
+
+
+@functools.partial(jax.jit, static_argnames=("gn_iters", "rounds"))
+def local_map_refine(
+    T_init: jnp.ndarray,        # (4, 4) Tcw init (the flow-BA pose)
+    Xw: jnp.ndarray,            # (M, 3) local map points, world frame
+    desc_map: jnp.ndarray,      # (M, 256)
+    valid_map: jnp.ndarray,     # (M,)
+    uv_cur: jnp.ndarray,        # (N, 2) current-frame keypoints
+    desc_cur: jnp.ndarray,      # (N, 256)
+    valid_cur: jnp.ndarray,     # (N,)
+    z_cur: jnp.ndarray,         # (N,) measured depth of current keypoints
+    fx, fy, cx, cy, width, height, bf,
+    radius: float = 12.0,
+    thresh: float = 3.0,
+    gn_iters: int = 8,
+    rounds: int = 2,
+    depth_weight_z0: float = 15.0,
+):
+    """Pose refinement against the accumulated local map
+    (Tracking::TrackLocalMap, src/Tracking.cc:3189: SearchLocalPoints'
+    projection-guided matching -> PoseOptimization on the matches).
+
+    Projects every map point with the init pose, matches descriptors
+    within ``radius`` px of the prediction, then alternates weighted
+    Gauss-Newton with inlier re-classification (the reference's 4-round
+    PoseOptimization outlier gating, src/Optimizer.cc:3263-3305).
+
+    Returns (T_refined, n_inliers, n_matches)."""
+    y = se3.transform(T_init, Xw)
+    uv_pred = cam_g.project(y, fx, fy, cx, cy)
+    in_view = (
+        (y[..., 2] > 0.5)
+        & (uv_pred[..., 0] >= 0) & (uv_pred[..., 0] < width)
+        & (uv_pred[..., 1] >= 0) & (uv_pred[..., 1] < height)
+    )
+    res = matching.match_projected(
+        desc_map, uv_pred, valid_map & in_view,
+        desc_cur, uv_cur, valid_cur, radius=radius,
+    )
+    uv_obs = uv_cur[res.idx]
+    z_obs = z_cur[res.idx]
+    has_depth = res.valid & (z_obs > 0.25)
+    disp_obs = bf / jnp.maximum(z_obs, 0.25)
+    # per-point depth-variance weight on the disparity row (sigma_z ~ z^2,
+    # the same model as SolverConfig.cam_depth_weight_z0 for the ego edges)
+    w_disp = has_depth.astype(jnp.float32) / (
+        1.0 + (z_obs / depth_weight_z0) ** 2
+    )
+    T = T_init
+
+    def huber_w(T):
+        """IRLS Huber weights at delta = thresh over ALL matches — the
+        first optimization round must see every match (the init may sit
+        outside the inlier gate; the reference's PoseOptimization also
+        starts on all edges and chi2-gates only BETWEEN rounds,
+        src/Optimizer.cc:3263-3305)."""
+        y = se3.transform(T, Xw)
+        r = jnp.linalg.norm(cam_g.project(y, fx, fy, cx, cy) - uv_obs, axis=-1)
+        w = jnp.minimum(1.0, thresh / jnp.maximum(r, 1e-6))
+        return res.valid.astype(jnp.float32) * w * (y[..., 2] > 0)
+
+    for _ in range(rounds):
+        T = _gn_refine_stereo(
+            T, Xw, uv_obs, disp_obs, huber_w(T), w_disp, gn_iters, fx, fy, cx, cy, bf
+        )
+    inl, n = _count_inliers(T, Xw, uv_obs, res.valid, thresh, fx, fy, cx, cy)
+    for _ in range(rounds):
+        T = _gn_refine_stereo(
+            T, Xw, uv_obs, disp_obs, inl.astype(jnp.float32), w_disp,
+            gn_iters, fx, fy, cx, cy, bf,
+        )
+        inl, n = _count_inliers(T, Xw, uv_obs, res.valid, thresh, fx, fy, cx, cy)
+    return T, n, jnp.sum(res.valid.astype(jnp.int32))
 
 
 @dataclasses.dataclass
@@ -43,6 +162,8 @@ class KeyframeStore:
         self.capacity = capacity
         self.min_gap = min_gap
         self.frames: List[Keyframe] = []
+        self._version = 0            # bumped on any mutation; keys the cache
+        self._local_cache = None     # (version, n_kf, max_depth) -> arrays
 
     def maybe_add(self, kf: Keyframe) -> bool:
         if self.frames and kf.index - self.frames[-1].index < self.min_gap:
@@ -50,7 +171,70 @@ class KeyframeStore:
         self.frames.append(kf)
         if len(self.frames) > self.capacity:
             self.frames.pop(0)
+        self._version += 1
         return True
+
+    def correct_poses(self, new_Tcw: List[np.ndarray]):
+        """Rewrite every keyframe pose after a trajectory correction (loop
+        closure), re-anchoring the stored world points: the points were
+        back-projected through the OLD pose, so they must move with the
+        keyframe or relocalization/local-map tracking would keep serving
+        the pre-correction world frame (LoopClosing::CorrectLoop moves the
+        map points with their reference keyframes the same way,
+        src/LoopClosing.cc:460-520)."""
+        assert len(new_Tcw) == len(self.frames)
+        for kf, Tcw_new in zip(self.frames, new_Tcw):
+            Xc = (kf.Tcw[:3, :3] @ kf.Xw.T).T + kf.Tcw[:3, 3]
+            Twc_new = np.linalg.inv(Tcw_new)
+            kf.Xw = ((Twc_new[:3, :3] @ Xc.T).T + Twc_new[:3, 3]).astype(np.float32)
+            kf.Tcw = Tcw_new.astype(np.float32)
+        self._version += 1
+
+    # ------------------------------------------------------------------
+    def local_map(self, n_kf: int = 3, max_depth: float = 35.0):
+        """Stacked (Xw, desc, valid) of the newest ``n_kf`` keyframes — the
+        local map for TrackLocalMap-style refinement (the covisible set: on
+        a vehicle trajectory the newest keyframes ARE the covisibility
+        neighbours, KeyFrame::GetBestCovisibilityKeyFrames' role).  Points
+        are gated to ``max_depth`` in their own keyframe's camera (stereo
+        depth error grows ~z^2 — the same gate relocalize uses).  Device
+        arrays are cached until the store mutates."""
+        sig = (self._version, n_kf, max_depth)
+        if self._local_cache is not None and self._local_cache[0] == sig:
+            return self._local_cache[1]
+        kfs = self.frames[-n_kf:]
+        Xw = np.concatenate([kf.Xw for kf in kfs], axis=0)
+        desc = np.concatenate([kf.desc for kf in kfs], axis=0)
+        valid = []
+        for kf in kfs:
+            z = ((kf.Tcw[:3, :3] @ kf.Xw.T).T + kf.Tcw[:3, 3])[:, 2]
+            valid.append(kf.valid & (z > 0) & (z < max_depth))
+        valid = np.concatenate(valid, axis=0)
+        arrays = (jnp.asarray(Xw), jnp.asarray(desc), jnp.asarray(valid))
+        self._local_cache = (sig, arrays)
+        return arrays
+
+    def track_local_map(
+        self,
+        Tcw_init: np.ndarray,
+        uv_cur, desc_cur, valid_cur, z_cur,
+        fx, fy, cx, cy, width, height, bf,
+        n_kf: int = 3,
+        radius: float = 12.0,
+        thresh: float = 3.0,
+        max_depth: float = 35.0,
+    ) -> Tuple[np.ndarray, int, int]:
+        """TrackLocalMap (src/Tracking.cc:3189): refine ``Tcw_init``
+        against the local map.  Returns (T, n_inliers, n_matches); the
+        caller applies its acceptance gates."""
+        Xw, desc_m, valid_m = self.local_map(n_kf=n_kf, max_depth=max_depth)
+        T, n_inl, n_match = local_map_refine(
+            jnp.asarray(Tcw_init), Xw, desc_m, valid_m,
+            uv_cur, desc_cur, valid_cur, z_cur,
+            fx, fy, cx, cy, width, height, bf,
+            radius=radius, thresh=thresh,
+        )
+        return np.asarray(T), int(n_inl), int(n_match)
 
     # ------------------------------------------------------------------
     def similarity_scores(
@@ -104,6 +288,8 @@ class KeyframeStore:
                 culled += 1
             else:
                 k += 1
+        if culled:
+            self._version += 1
         return culled
 
     def triangulate_between(

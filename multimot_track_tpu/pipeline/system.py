@@ -112,6 +112,7 @@ class MultiMotSystem:
         self._lost_streak = 0
         self._velocity = np.eye(4, dtype=np.float32)  # mVelocity analog
         self._result_spec = None
+        self._feat_cache = None   # (frame_idx, features) — one extraction/frame
         self._win: List[dict] = []   # trailing window device tensors
         # mask-free mode: per-pair motion segmentation (pipeline/motion_seg)
         # synthesizes the instance masks the pipeline would otherwise read
@@ -171,6 +172,15 @@ class MultiMotSystem:
                     "next_track_id": self._next_track_id,
                     "state": self.state,
                     "velocity": self._velocity,
+                    # backend state: keyframe map (local-map tracking, reloc,
+                    # loop closing) and the trailing window's tensors — a
+                    # resumed run must track identically to an unbroken one
+                    "keyframes": self.keyframes.frames if self.keyframes else None,
+                    "kf_to_traj": self._kf_to_traj,
+                    "win": [
+                        {k: (v if k == "row" else np.asarray(v)) for k, v in w.items()}
+                        for w in self._win
+                    ],
                 },
                 f,
             )
@@ -194,6 +204,15 @@ class MultiMotSystem:
         self._next_track_id = d["next_track_id"]
         self.state = d["state"]
         self._velocity = d["velocity"]
+        if d.get("keyframes") is not None and self.keyframes is not None:
+            self.keyframes.frames = d["keyframes"]
+            self.keyframes._version += 1
+        self._kf_to_traj = d.get("kf_to_traj", [])
+        self._win = [
+            {k: (v if k == "row" else jnp.asarray(v)) for k, v in w.items()}
+            for w in d.get("win", [])
+        ]
+        self._feat_cache = None
 
     @staticmethod
     def _compact_images(fd: FrameData):
@@ -280,6 +299,23 @@ class MultiMotSystem:
             self._lost_streak = 0
             self._velocity = np.asarray(result.Tcw_cur) @ np.linalg.inv(Tcw_last)
 
+        # TrackLocalMap rung (src/Tracking.cc:3189): let the accumulated
+        # keyframe map refine the per-pair flow pose before it is recorded
+        if (
+            cfg.backend.track_local_map
+            and self.state == self.STATE_OK
+            and self.keyframes is not None
+            and self.keyframes.frames
+        ):
+            T_lm = self._track_local_map(fd, np.asarray(result.Tcw_cur))
+            if T_lm is not None:
+                result = result._replace(Tcw_cur=jnp.asarray(T_lm))
+                self._velocity = (T_lm @ np.linalg.inv(Tcw_last)).astype(np.float32)
+                new_ctx = new_ctx._replace(
+                    Tcw_last=jnp.asarray(T_lm),
+                    T_velocity=jnp.asarray(self._velocity),
+                )
+
         self._record(result, fd)
         self._push_window(gray, depth, flow, sem, len(self.map.camera_poses) - 1)
         if cfg.backend.window_refine and self.state == self.STATE_OK:
@@ -334,6 +370,46 @@ class MultiMotSystem:
         valid = kp.valid & (z > 0) & (z < 60.0)
         return kp.uv, desc, valid, z
 
+    def _frame_features(self, fd: FrameData):
+        """Per-frame cache around ``_describe_frame``: local-map tracking,
+        keyframe capture and relocalization all need the same features —
+        extract once per frame."""
+        if self._feat_cache is not None and self._feat_cache[0] == self._frame_idx:
+            return self._feat_cache[1]
+        feats = self._describe_frame(fd)
+        self._feat_cache = (self._frame_idx, feats)
+        return feats
+
+    def _track_local_map(self, fd: FrameData, Tcw_init: np.ndarray):
+        """Refine the flow pose against the local map (TrackLocalMap,
+        src/Tracking.cc:3189).  Returns the refined Tcw or None when the
+        refinement fails the acceptance gates (too few inliers, or a
+        correction so large it contradicts the flow solve — the map points
+        carry z^2-growing stereo-depth noise, so the flow pose stays the
+        anchor and the map is only allowed to nudge it)."""
+        be, cam = self.cfg.backend, self.cfg.camera
+        uv, desc, valid, z = self._frame_features(fd)
+        T, n_inl, _ = self.keyframes.track_local_map(
+            Tcw_init, uv, desc, valid, z,
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height, cam.bf,
+            n_kf=be.local_map_kfs,
+            radius=be.local_map_radius_px,
+            thresh=be.local_map_thresh_px,
+        )
+        if n_inl < be.local_map_min_inliers:
+            return None
+        d = T @ np.linalg.inv(Tcw_init)
+        if not np.isfinite(T).all():
+            return None
+        if np.linalg.norm(d[:3, 3]) > be.local_map_max_corr_m:
+            return None
+        ang = np.degrees(
+            np.arccos(np.clip((np.trace(d[:3, :3]) - 1.0) / 2.0, -1.0, 1.0))
+        )
+        if ang > 2.0:
+            return None
+        return T.astype(np.float32)
+
     def _maybe_add_keyframe(self, fd: FrameData, Tcw: np.ndarray) -> bool:
         from multimot_track_tpu.pipeline.keyframes import Keyframe
 
@@ -343,7 +419,7 @@ class MultiMotSystem:
         ):
             return False
         cam = self.cfg.camera
-        uv, desc, valid, z = self._describe_frame(fd)
+        uv, desc, valid, z = self._frame_features(fd)
         from multimot_track_tpu.geometry import camera as cam_g
 
         Xc = np.asarray(cam_g.backproject(uv, z, cam.fx, cam.fy, cam.cx, cam.cy))
@@ -492,10 +568,13 @@ class MultiMotSystem:
         self.map.camera_poses = [
             np.linalg.inv(T).astype(np.float32) for T in corrected
         ]
-        # keyframe poses follow their trajectory rows (CorrectLoop's
-        # keyframe pose update, src/LoopClosing.cc:460-520)
-        for j, kfj in enumerate(self.keyframes.frames):
-            kfj.Tcw = corrected[self._kf_to_traj[j]].astype(np.float32)
+        # keyframe poses follow their trajectory rows, and the stored world
+        # points are re-anchored with them (CorrectLoop's keyframe + map
+        # point update, src/LoopClosing.cc:460-520) — otherwise reloc and
+        # local-map tracking would keep serving the pre-correction frame
+        self.keyframes.correct_poses(
+            [corrected[self._kf_to_traj[j]] for j in range(len(self.keyframes.frames))]
+        )
         if len(corrected) >= 2:
             self._velocity = (
                 corrected[-1] @ np.linalg.inv(corrected[-2])
@@ -509,7 +588,7 @@ class MultiMotSystem:
         if not self.enable_keyframes or not (self.keyframes and self.keyframes.frames):
             return None
         cam = self.cfg.camera
-        uv, desc, valid, _ = self._describe_frame(fd)
+        uv, desc, valid, _ = self._frame_features(fd)
         return self.keyframes.relocalize(
             key, desc, uv, valid, cam.fx, cam.fy, cam.cx, cam.cy
         )

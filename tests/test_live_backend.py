@@ -24,9 +24,13 @@ TEST_CFG = dataclasses.replace(
     solver=dataclasses.replace(
         DEFAULT_CONFIG.solver, ransac_iters=200, cam_lm_iters=60, obj_lm_iters=60
     ),
-    # window refinement off: this file isolates the LOOP-CLOSING effect
-    # (refinement would partially mask the with/without-LC ATE delta)
-    backend=dataclasses.replace(DEFAULT_CONFIG.backend, window_refine=False),
+    # window refinement and local-map tracking off: this file isolates the
+    # LOOP-CLOSING effect (both drift-reducers shrink the ATE delta the
+    # assertions measure — with local-map tracking on, the fixture's drift
+    # is already so small the loop correction has nothing left to win)
+    backend=dataclasses.replace(
+        DEFAULT_CONFIG.backend, window_refine=False, track_local_map=False
+    ),
 )
 
 
