@@ -44,6 +44,11 @@ def main(argv=None):
     )
     ap.add_argument("--keyframe-gap", type=int, default=5)
     ap.add_argument(
+        "--no-local-map", action="store_true",
+        help="disable per-frame TrackLocalMap pose refinement against "
+             "the keyframe map points",
+    )
+    ap.add_argument(
         "--no-estimate-flow", action="store_true",
         help="do not estimate dense flow when .flo files are missing",
     )
@@ -95,6 +100,12 @@ def main(argv=None):
         seq = get_sequence(args.sequence)
     if args.no_estimate_flow and hasattr(seq, "estimate_flow"):
         seq.estimate_flow = False
+    if args.no_local_map:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, backend=dataclasses.replace(cfg.backend, track_local_map=False)
+        )
     n = len(seq) if args.frames is None else min(args.frames, len(seq))
     sys_ = MultiMotSystem(
         cfg,
