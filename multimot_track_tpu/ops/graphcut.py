@@ -158,4 +158,121 @@ def segment(
         return jnp.argmin(D + pen, axis=-1).astype(jnp.int32)
 
     labels = jax.lax.fori_loop(0, n_icm_iters, icm_step, labels)
-    return labels, total_energy(labels, D, graph)
+    e_mf = total_energy(labels, D, graph)
+    # Constant-labeling guard: in the smoothness-dominated regime parallel
+    # mean-field can fail to break the label symmetry and fragment (measured
+    # ~10x the exact energy on random data costs with near-saturated
+    # weights); the best single-label assignment has zero Potts cost and is
+    # one masked column-sum + argmin.  Keep whichever energy is lower.
+    data_cols = jnp.sum(jnp.where(graph.valid[:, None], D, 0.0), axis=0)  # (L,)
+    const_lab = jnp.argmin(data_cols).astype(jnp.int32)
+    e_const = data_cols[const_lab]
+    take_const = e_const < e_mf
+    labels = jnp.where(take_const, jnp.full_like(labels, const_lab), labels)
+    return labels, jnp.minimum(e_mf, e_const)
+
+
+# ---------------------------------------------------------------------------
+# Exact native solver (alpha-expansion over max-flow) — the counterpart of
+# the reference's gco library itself (src/gco/maxflow.cpp), built as
+# native/graphcut.cc (Dinic max-flow + the Boykov-Veksler-Zabih move
+# construction).  The jitted ``segment`` relaxation above remains the
+# production path; this is the exactness oracle it is validated against
+# (SURVEY.md §7 "Graph-cut exactness") and an offline host-side refiner.
+
+_GC_DLL = None
+
+
+def _graphcut_dll():
+    global _GC_DLL
+    if _GC_DLL is None:
+        import ctypes
+        import pathlib
+        import subprocess
+
+        native = pathlib.Path(__file__).resolve().parent.parent / "native"
+        lib = native / "libmmt_graphcut.so"
+        if not lib.exists():
+            subprocess.run(
+                ["make", "-C", str(native), "libmmt_graphcut.so"],
+                check=True, capture_output=True,
+            )
+        dll = ctypes.CDLL(str(lib))
+        dll.mmt_alpha_expansion.restype = ctypes.c_int
+        dll.mmt_alpha_expansion.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        dll.mmt_binary_cut.restype = ctypes.c_float
+        dll.mmt_binary_cut.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        _GC_DLL = dll
+    return _GC_DLL
+
+
+def graph_to_edges(graph: SegGraph):
+    """Undirected unique edge list from the k-NN adjacency, with weights
+    matched to ``total_energy``'s accounting (0.5 * sum over directed
+    slots: an asymmetric neighbor pair carries half weight)."""
+    import numpy as np
+
+    idx = np.asarray(graph.nbr_idx)
+    w = np.asarray(graph.nbr_w)
+    valid = np.asarray(graph.valid)
+    N, K = idx.shape
+    acc = {}
+    for i in range(N):
+        if not valid[i]:
+            continue
+        for k in range(K):
+            j = int(idx[i, k])
+            if w[i, k] <= 0 or not valid[j] or j == i:
+                continue
+            key = (i, j) if i < j else (j, i)
+            acc[key] = acc.get(key, 0.0) + 0.5 * float(w[i, k])
+    if not acc:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.float32))
+    ei = np.asarray([k[0] for k in acc], np.int32)
+    ej = np.asarray([k[1] for k in acc], np.int32)
+    ew = np.asarray(list(acc.values()), np.float32)
+    return ei, ej, ew
+
+
+def segment_exact(D, graph: SegGraph, init_labels=None, max_sweeps: int = 8):
+    """Exact alpha-expansion on the host (gco's role).  Invalid sites get
+    label argmin D (they carry no smoothness weight).  Returns
+    (labels (N,), energy ()) — energy comparable to ``total_energy``."""
+    import ctypes
+
+    import numpy as np
+
+    D = np.asarray(D, np.float32)
+    # invalid sites contribute nothing (matches total_energy's masking)
+    D = np.ascontiguousarray(
+        np.where(np.asarray(graph.valid)[:, None], D, 0.0).astype(np.float32)
+    )
+    N, L = D.shape
+    ei, ej, ew = graph_to_edges(graph)
+    labels = (
+        np.asarray(init_labels, np.int32).copy()
+        if init_labels is not None
+        else np.argmin(D, axis=1).astype(np.int32)
+    )
+    energy = np.zeros(1, np.float32)
+    dll = _graphcut_dll()
+    dll.mmt_alpha_expansion(
+        N, L, D.ctypes.data_as(ctypes.c_void_p),
+        len(ew),
+        np.ascontiguousarray(ei).ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(ej).ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(ew).ctypes.data_as(ctypes.c_void_p),
+        max_sweeps,
+        labels.ctypes.data_as(ctypes.c_void_p),
+        energy.ctypes.data_as(ctypes.c_void_p),
+    )
+    return labels, float(energy[0])
