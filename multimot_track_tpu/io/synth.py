@@ -13,7 +13,10 @@ import pathlib
 import shutil
 
 
-def build(src, dst, include_objects: bool = False):
+def build(src, dst, include_objects: bool = False, order=None):
+    """``order`` — explicit source-frame index sequence; default is one
+    forward + one reversed pass.  Longer shuttle patterns (fwd-rev-fwd-…)
+    make marathon fixtures with repeated revisits."""
     src = pathlib.Path(src)
     dst = pathlib.Path(dst)
     if dst.exists():
@@ -23,7 +26,8 @@ def build(src, dst, include_objects: bool = False):
     (dst / "semantic").mkdir()
 
     n = len(list((src / "image").glob("*.png")))
-    order = list(range(n)) + list(range(n - 2, -1, -1))
+    if order is None:
+        order = list(range(n)) + list(range(n - 2, -1, -1))
 
     for out_i, in_i in enumerate(order):
         for sub, ext in (("image", "png"), ("depth", "png"), ("semantic", "txt")):

@@ -151,6 +151,7 @@ class MultiMotSystem:
             enable_loop_closing=self.enable_loop_closing,
             loop_min_matches=self.loop_min_matches,
             loop_min_kf_separation=self.loop_min_kf_separation,
+            discover_objects=self.discover_objects,
         )
 
     # ------------------------------------------------------------------
