@@ -232,7 +232,8 @@ class BackendConfig:
     local_map_radius_px: float = 12.0 # projection search radius
     local_map_thresh_px: float = 3.0  # inlier gate for the GN rounds
     local_map_min_inliers: int = 40   # accept only well-constrained refinements
-    local_map_max_corr_m: float = 0.5 # reject corrections larger than this
+    local_map_max_corr_m: float = 0.5   # reject translations larger than this
+    local_map_max_rot_deg: float = 2.0  # ... and rotations larger than this
 
 
 @dataclasses.dataclass(frozen=True)

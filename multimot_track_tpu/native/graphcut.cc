@@ -122,7 +122,8 @@ double total_energy(int n_sites, int n_labels, const float* D, int n_edges,
 // Convention (matches the construction in the file header comment):
 //   source side = keep current label, sink side = switch to alpha.
 //   t-link s->i: cap D(i, alpha);  t-link i->t: cap D(i, l_i)
-//   (infinite for l_i == alpha so those sites stay on the source side).
+//   (infinite for l_i == alpha: the uncuttable i->t edge forces those
+//   sites onto the SINK side, i.e. they are assigned alpha — a no-op).
 //   l_i == l_j: undirected edge cap w.
 //   l_i != l_j: auxiliary node a with undirected edges i-a, a-j (cap w)
 //   and t-link a->t (cap w).
@@ -204,7 +205,7 @@ int mmt_alpha_expansion(int n_sites, int n_labels, const float* D,
 
 // Plain min-cut entry for tests: binary labeling (0 = source side / keep,
 // 1 = sink side) minimizing sum_i t-link costs + Potts edges.
-// t-links: cost0[i] paid when x_i = 1, cost1[i] paid when x_i = 0.
+// cost_keep[i] is paid when x_i = 0, cost_switch[i] when x_i = 1.
 float mmt_binary_cut(int n_sites, const float* cost_keep,
                      const float* cost_switch, int n_edges, const int32_t* ei,
                      const int32_t* ej, const float* ew, int32_t* labels_out) {

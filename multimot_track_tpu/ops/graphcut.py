@@ -244,17 +244,18 @@ def graph_to_edges(graph: SegGraph):
 
 
 def segment_exact(D, graph: SegGraph, init_labels=None, max_sweeps: int = 8):
-    """Exact alpha-expansion on the host (gco's role).  Invalid sites get
-    label argmin D (they carry no smoothness weight).  Returns
+    """Exact alpha-expansion on the host (gco's role).  Invalid sites carry
+    no data or smoothness cost during the solve; their returned labels are
+    set to their own argmin-D afterwards (they are unconstrained).  Returns
     (labels (N,), energy ()) — energy comparable to ``total_energy``."""
     import ctypes
 
     import numpy as np
 
-    D = np.asarray(D, np.float32)
+    D_orig = np.asarray(D, np.float32)
     # invalid sites contribute nothing (matches total_energy's masking)
     D = np.ascontiguousarray(
-        np.where(np.asarray(graph.valid)[:, None], D, 0.0).astype(np.float32)
+        np.where(np.asarray(graph.valid)[:, None], D_orig, 0.0).astype(np.float32)
     )
     N, L = D.shape
     ei, ej, ew = graph_to_edges(graph)
@@ -275,4 +276,9 @@ def segment_exact(D, graph: SegGraph, init_labels=None, max_sweeps: int = 8):
         labels.ctypes.data_as(ctypes.c_void_p),
         energy.ctypes.data_as(ctypes.c_void_p),
     )
+    valid = np.asarray(graph.valid)
+    if not valid.all():
+        labels = np.where(
+            valid, labels, np.argmin(np.asarray(D_orig), axis=1).astype(np.int32)
+        )
     return labels, float(energy[0])

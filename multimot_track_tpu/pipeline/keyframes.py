@@ -26,48 +26,7 @@ from multimot_track_tpu.geometry import camera as cam_g
 from multimot_track_tpu.geometry import se3
 from multimot_track_tpu.ops import matching
 from multimot_track_tpu.solvers import pnp, pose_graph, sim3
-from multimot_track_tpu.solvers.ransac import _count_inliers
-
-
-def _gn_refine_stereo(T, Xw, uv_obs, disp_obs, w, w_disp, iters, fx, fy, cx, cy, bf):
-    """Weighted GN on the stereo reprojection residual (u, v, disparity)
-    — the reference's stereo PoseOptimization edge
-    (EdgeStereoSE3ProjectXYZOnlyPose: e = (u, v, u - fx*b/z) residuals,
-    src/Optimizer.cc:3221-3260).  The disparity row constrains the
-    forward axis that pure 2D reprojection leaves soft; ``w_disp``
-    carries the per-point depth-variance weight (disparity error grows
-    with range exactly as the repo's ego depth weighting models)."""
-
-    def step(_, T):
-        y = se3.transform(T, Xw)
-        z = jnp.maximum(y[..., 2], 1e-6)
-        inv_z = 1.0 / z
-        r_uv = cam_g.project(y, fx, fy, cx, cy) - uv_obs          # (N, 2)
-        r_d = bf * inv_z - disp_obs                               # (N,)
-        zero = jnp.zeros_like(z)
-        dpi = jnp.stack(
-            [
-                jnp.stack([fx * inv_z, zero, -fx * y[..., 0] * inv_z * inv_z], -1),
-                jnp.stack([zero, fy * inv_z, -fy * y[..., 1] * inv_z * inv_z], -1),
-                jnp.stack([zero, zero, -bf * inv_z * inv_z], -1),
-            ],
-            axis=-2,
-        )                                                          # (N, 3, 3)
-        dy = jnp.concatenate(
-            [-se3.hat(y), jnp.broadcast_to(jnp.eye(3, dtype=y.dtype), y.shape[:-1] + (3, 3))],
-            axis=-1,
-        )                                                          # (N, 3, 6)
-        J = jnp.einsum("nij,njk->nik", dpi, dy)                    # (N, 3, 6)
-        r = jnp.concatenate([r_uv, r_d[..., None]], axis=-1)       # (N, 3)
-        wr = jnp.stack([w, w, w * w_disp], axis=-1)                # (N, 3)
-        H = jnp.einsum("nia,nib,ni->ab", J, J, wr) + 1e-6 * jnp.eye(6, dtype=T.dtype)
-        g = jnp.einsum("nia,ni,ni->a", J, r, wr)
-        from multimot_track_tpu.geometry import smallsolve
-
-        dxi = smallsolve.solve_spd6(H, -g)
-        return se3.exp_se3(dxi) @ T
-
-    return jax.lax.fori_loop(0, iters, step, T)
+from multimot_track_tpu.solvers.ransac import _count_inliers, _gn_refine_stereo
 
 
 @functools.partial(jax.jit, static_argnames=("gn_iters", "rounds"))
@@ -108,9 +67,20 @@ def local_map_refine(
         desc_map, uv_pred, valid_map & in_view,
         desc_cur, uv_cur, valid_cur, radius=radius,
     )
+    # Uniqueness: the stacked keyframes carry duplicate copies of the same
+    # physical landmark (multiple detection levels / keyframes), and
+    # several copies can match ONE current keypoint — stacking GN weight
+    # and inflating the inlier count the acceptance gate reads.  The
+    # reference associates each current keypoint to at most one map point
+    # (SearchLocalPoints); match that: keep the best-distance copy per
+    # current keypoint (index as tie-break; identical copies tie exactly).
+    M = res.idx.shape[0]
+    key = jnp.where(res.valid, res.dist, 1e6) * (M + 1.0) + jnp.arange(M, dtype=jnp.float32)
+    best_key = jnp.full((uv_cur.shape[0],), 1e12, jnp.float32).at[res.idx].min(key)
+    matched = res.valid & (key <= best_key[res.idx])
     uv_obs = uv_cur[res.idx]
     z_obs = z_cur[res.idx]
-    has_depth = res.valid & (z_obs > 0.25)
+    has_depth = matched & (z_obs > 0.25)
     disp_obs = bf / jnp.maximum(z_obs, 0.25)
     # per-point depth-variance weight on the disparity row (sigma_z ~ z^2,
     # the same model as SolverConfig.cam_depth_weight_z0 for the ego edges)
@@ -128,20 +98,32 @@ def local_map_refine(
         y = se3.transform(T, Xw)
         r = jnp.linalg.norm(cam_g.project(y, fx, fy, cx, cy) - uv_obs, axis=-1)
         w = jnp.minimum(1.0, thresh / jnp.maximum(r, 1e-6))
-        return res.valid.astype(jnp.float32) * w * (y[..., 2] > 0)
+        return matched.astype(jnp.float32) * w * (y[..., 2] > 0)
 
     for _ in range(rounds):
         T = _gn_refine_stereo(
             T, Xw, uv_obs, disp_obs, huber_w(T), w_disp, gn_iters, fx, fy, cx, cy, bf
         )
-    inl, n = _count_inliers(T, Xw, uv_obs, res.valid, thresh, fx, fy, cx, cy)
+    inl, n = _count_inliers(T, Xw, uv_obs, matched, thresh, fx, fy, cx, cy)
     for _ in range(rounds):
         T = _gn_refine_stereo(
             T, Xw, uv_obs, disp_obs, inl.astype(jnp.float32), w_disp,
             gn_iters, fx, fy, cx, cy, bf,
         )
-        inl, n = _count_inliers(T, Xw, uv_obs, res.valid, thresh, fx, fy, cx, cy)
-    return T, n, jnp.sum(res.valid.astype(jnp.int32))
+        inl, n = _count_inliers(T, Xw, uv_obs, matched, thresh, fx, fy, cx, cy)
+    return T, n, jnp.sum(matched.astype(jnp.int32))
+
+
+@jax.jit
+def _batched_match_counts(desc_q, valid_q, desc_stack, valid_stack):
+    """(K,) mutual-match counts of one query against a keyframe stack —
+    the whole KeyFrameDatabase scoring pass as one program."""
+
+    def one(desc_kf, valid_kf):
+        res = matching.match_descriptors(desc_q, desc_kf, valid_q, valid_kf)
+        return jnp.sum(res.valid.astype(jnp.int32))
+
+    return jax.vmap(one)(desc_stack, valid_stack)
 
 
 @dataclasses.dataclass
@@ -162,8 +144,9 @@ class KeyframeStore:
         self.capacity = capacity
         self.min_gap = min_gap
         self.frames: List[Keyframe] = []
-        self._version = 0            # bumped on any mutation; keys the cache
-        self._local_cache = None     # (version, n_kf, max_depth) -> arrays
+        self._version = 0            # bumped on any mutation; keys the caches
+        self._local_cache = None     # local_map arrays, keyed on version
+        self._stack_cache = None     # descriptor stack, keyed on version
 
     def maybe_add(self, kf: Keyframe) -> bool:
         if self.frames and kf.index - self.frames[-1].index < self.min_gap:
@@ -237,17 +220,50 @@ class KeyframeStore:
         return np.asarray(T), int(n_inl), int(n_match)
 
     # ------------------------------------------------------------------
+    def _stacked_descriptors(self):
+        """(K_pad, N, 256) device-resident descriptor stack of the whole
+        store, padded to the next power of two along K (bounds the number
+        of distinct compiled shapes) with zero-valid rows; cached until the
+        store mutates.  Requires homogeneous keypoint counts (the system
+        always extracts a fixed n_total)."""
+        sig = self._version
+        if self._stack_cache is not None and self._stack_cache[0] == sig:
+            return self._stack_cache[1]
+        K = len(self.frames)
+        if K == 0 or len({kf.desc.shape[0] for kf in self.frames}) != 1:
+            return None
+        K_pad = 1 << (K - 1).bit_length()
+        desc = np.zeros((K_pad,) + self.frames[0].desc.shape, self.frames[0].desc.dtype)
+        valid = np.zeros((K_pad, self.frames[0].valid.shape[0]), bool)
+        for k, kf in enumerate(self.frames):
+            desc[k] = kf.desc
+            valid[k] = kf.valid
+        arrays = (jnp.asarray(desc), jnp.asarray(valid))
+        self._stack_cache = (sig, arrays)
+        return arrays
+
     def similarity_scores(
         self, desc: jnp.ndarray, valid: jnp.ndarray, exclude_last: int = 2
     ) -> np.ndarray:
-        """Match count against every stored keyframe (place recognition)."""
-        scores = np.zeros(len(self.frames), np.int32)
-        for k, kf in enumerate(self.frames[: len(self.frames) - exclude_last]):
-            res = matching.match_descriptors(
-                desc, jnp.asarray(kf.desc), valid, jnp.asarray(kf.valid)
-            )
-            scores[k] = int(jnp.sum(res.valid))
-        return scores
+        """Match count against every stored keyframe (place recognition).
+
+        All keyframes are scored in ONE device dispatch (a vmapped matmul
+        over the cached descriptor stack) — the per-keyframe loop this
+        replaces cost one tunnel round trip per stored keyframe."""
+        K = len(self.frames) - exclude_last
+        if K <= 0:
+            return np.zeros(max(K, 0), np.int32)
+        stacked = self._stacked_descriptors()
+        if stacked is None:   # heterogeneous store (test-built): slow path
+            scores = np.zeros(K, np.int32)
+            for k, kf in enumerate(self.frames[:K]):
+                res = matching.match_descriptors(
+                    desc, jnp.asarray(kf.desc), valid, jnp.asarray(kf.valid)
+                )
+                scores[k] = int(jnp.sum(res.valid))
+            return scores
+        counts = _batched_match_counts(desc, valid, *stacked)
+        return np.asarray(counts[:K])
 
     def detect_loop(
         self, desc: jnp.ndarray, valid: jnp.ndarray, min_matches: int = 40

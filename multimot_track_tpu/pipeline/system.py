@@ -300,6 +300,11 @@ class MultiMotSystem:
             self._lost_streak = 0
             self._velocity = np.asarray(result.Tcw_cur) @ np.linalg.inv(Tcw_last)
 
+        # the pose of the device solve (post state-machine fallback): the
+        # frame the device's object motions H were anchored on, and the
+        # "online" trajectory sample before any map-based refinement
+        Tcw_online = np.asarray(result.Tcw_cur)
+
         # TrackLocalMap rung (src/Tracking.cc:3189): let the accumulated
         # keyframe map refine the per-pair flow pose before it is recorded
         if (
@@ -308,7 +313,7 @@ class MultiMotSystem:
             and self.keyframes is not None
             and self.keyframes.frames
         ):
-            T_lm = self._track_local_map(fd, np.asarray(result.Tcw_cur))
+            T_lm = self._track_local_map(fd, Tcw_online)
             if T_lm is not None:
                 result = result._replace(Tcw_cur=jnp.asarray(T_lm))
                 self._velocity = (T_lm @ np.linalg.inv(Tcw_last)).astype(np.float32)
@@ -317,7 +322,7 @@ class MultiMotSystem:
                     T_velocity=jnp.asarray(self._velocity),
                 )
 
-        self._record(result, fd)
+        self._record(result, fd, Tcw_online=Tcw_online)
         self._push_window(gray, depth, flow, sem, len(self.map.camera_poses) - 1)
         if cfg.backend.window_refine and self.state == self.STATE_OK:
             refined_last = self._refine_window()
@@ -407,7 +412,7 @@ class MultiMotSystem:
         ang = np.degrees(
             np.arccos(np.clip((np.trace(d[:3, :3]) - 1.0) / 2.0, -1.0, 1.0))
         )
-        if ang > 2.0:
+        if ang > be.local_map_max_rot_deg:
             return None
         return T.astype(np.float32)
 
@@ -595,11 +600,17 @@ class MultiMotSystem:
         )
 
     # ------------------------------------------------------------------
-    def _record(self, r: tracker.PairResult, fd: FrameData):
+    def _record(self, r: tracker.PairResult, fd: FrameData, Tcw_online=None):
+        """``Tcw_online`` — the device solve's pose before local-map
+        refinement; it anchors the raw trajectory and the P_lc
+        decomposition (the device computed H with THIS pose, so unmixing
+        H into a camera-independent measurement must use it too)."""
         m = self.map
+        if Tcw_online is None:
+            Tcw_online = np.asarray(r.Tcw_cur)
         Twc = np.linalg.inv(np.asarray(r.Tcw_cur))
         m.camera_poses.append(Twc.astype(np.float32))
-        m.camera_poses_raw.append(Twc.astype(np.float32))
+        m.camera_poses_raw.append(np.linalg.inv(Tcw_online).astype(np.float32))
         m.gt_poses.append(np.asarray(fd.pose_gt, np.float32))
         m.timestamps.append(fd.timestamp)
         m.cam_rpe_abs.append(np.asarray([float(r.cam_t_rpe), float(r.cam_r_rpe)]))
@@ -615,8 +626,10 @@ class MultiMotSystem:
         )
         ob = r.objects
         # camera-pose factors for the camera-independent P_lc decomposition
-        Twc_cur_used = m.camera_poses[-1]
-        Tcw_cur_used = np.linalg.inv(Twc_cur_used)
+        # (the DEVICE pose, not the local-map-refined one: H was solved
+        # on-device anchored on Tcw_online)
+        Tcw_cur_used = Tcw_online
+        Twc_cur_used = np.linalg.inv(Tcw_cur_used)
         Twc_last_used = (
             m.camera_poses[-2] if len(m.camera_poses) >= 2 else np.eye(4, dtype=np.float32)
         )

@@ -39,29 +39,61 @@ def _count_inliers(T, Xw, uv, valid, thresh, fx, fy, cx, cy):
     return inl, jnp.sum(inl.astype(jnp.int32))
 
 
+def _proj_point_jacobian(y, fx, fy, bf=None):
+    """Jacobian of the (u, v[, disparity]) residual of a camera-frame point
+    ``y`` w.r.t. a left se(3) perturbation of the pose: (N, 2, 6), or
+    (N, 3, 6) with the stereo disparity row bf/z appended when ``bf`` is
+    given.  Shared by the 2D GN refiner below and the stereo refiner."""
+    z = jnp.maximum(y[..., 2], 1e-6)
+    inv_z = 1.0 / z
+    zero = jnp.zeros_like(z)
+    rows = [
+        jnp.stack([fx * inv_z, zero, -fx * y[..., 0] * inv_z * inv_z], -1),
+        jnp.stack([zero, fy * inv_z, -fy * y[..., 1] * inv_z * inv_z], -1),
+    ]
+    if bf is not None:
+        rows.append(jnp.stack([zero, zero, -bf * inv_z * inv_z], -1))
+    dpi = jnp.stack(rows, axis=-2)                        # (N, R, 3)
+    dy = jnp.concatenate(
+        [-se3.hat(y), jnp.broadcast_to(jnp.eye(3, dtype=y.dtype), y.shape[:-1] + (3, 3))],
+        axis=-1,
+    )                                                      # (N, 3, 6)
+    return jnp.einsum("nij,njk->nik", dpi, dy)             # (N, R, 6)
+
+
 def _gn_refine(T, Xw, uv, w, iters, fx, fy, cx, cy):
     """Weighted Gauss-Newton on 2D reprojection over the inlier set."""
 
     def step(_, T):
         y = se3.transform(T, Xw)
         r = camera.project(y, fx, fy, cx, cy) - uv        # (N, 2)
-        z = jnp.maximum(y[..., 2], 1e-6)
-        inv_z = 1.0 / z
-        zero = jnp.zeros_like(z)
-        dpi = jnp.stack(
-            [
-                jnp.stack([fx * inv_z, zero, -fx * y[..., 0] * inv_z * inv_z], -1),
-                jnp.stack([zero, fy * inv_z, -fy * y[..., 1] * inv_z * inv_z], -1),
-            ],
-            axis=-2,
-        )
-        dy = jnp.concatenate(
-            [-se3.hat(y), jnp.broadcast_to(jnp.eye(3, dtype=y.dtype), y.shape[:-1] + (3, 3))],
-            axis=-1,
-        )
-        J = jnp.einsum("nij,njk->nik", dpi, dy)           # (N, 2, 6) of d r / d xi
+        J = _proj_point_jacobian(y, fx, fy)               # (N, 2, 6)
         H = jnp.einsum("nia,nib,n->ab", J, J, w) + 1e-6 * jnp.eye(6, dtype=T.dtype)
         g = jnp.einsum("nia,ni,n->a", J, r, w)
+        dxi = smallsolve.solve_spd6(H, -g)
+        return se3.exp_se3(dxi) @ T
+
+    return jax.lax.fori_loop(0, iters, step, T)
+
+
+def _gn_refine_stereo(T, Xw, uv_obs, disp_obs, w, w_disp, iters, fx, fy, cx, cy, bf):
+    """Weighted GN on the stereo reprojection residual (u, v, disparity)
+    — the reference's stereo PoseOptimization edge
+    (EdgeStereoSE3ProjectXYZOnlyPose: e = (u, v, u - fx*b/z) residuals,
+    src/Optimizer.cc:3221-3260).  The disparity row constrains the
+    forward axis that pure 2D reprojection leaves soft; ``w_disp``
+    carries the per-point depth-variance weight (disparity error grows
+    with range exactly as the ego edges' depth weighting models)."""
+
+    def step(_, T):
+        y = se3.transform(T, Xw)
+        r_uv = camera.project(y, fx, fy, cx, cy) - uv_obs          # (N, 2)
+        r_d = bf / jnp.maximum(y[..., 2], 1e-6) - disp_obs         # (N,)
+        J = _proj_point_jacobian(y, fx, fy, bf=bf)                 # (N, 3, 6)
+        r = jnp.concatenate([r_uv, r_d[..., None]], axis=-1)       # (N, 3)
+        wr = jnp.stack([w, w, w * w_disp], axis=-1)                # (N, 3)
+        H = jnp.einsum("nia,nib,ni->ab", J, J, wr) + 1e-6 * jnp.eye(6, dtype=T.dtype)
+        g = jnp.einsum("nia,ni,ni->a", J, r, wr)
         dxi = smallsolve.solve_spd6(H, -g)
         return se3.exp_se3(dxi) @ T
 
