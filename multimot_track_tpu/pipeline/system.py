@@ -28,6 +28,23 @@ from multimot_track_tpu.pipeline import tracker
 from multimot_track_tpu.io.kitti import FrameData
 
 
+@jax.jit
+def _describe_frame_device(gray_u8, depth_u16, bf):
+    """Keyframe-grade frame description as one fused program: FAST
+    pyramid + ORB descriptors + disparity->depth + per-keypoint depth.
+    Returns (uv, desc, valid, z)."""
+    from multimot_track_tpu.frontend import fast, orb
+    from multimot_track_tpu.geometry import camera as cam_g
+
+    g = gray_u8.astype(jnp.float32)
+    kp = fast.detect_pyramid(g, n_levels=4, n_total=1024)
+    desc, _ = orb.describe(g, kp.uv)
+    depth = cam_g.disparity_png_to_depth(depth_u16.astype(jnp.float32), bf)
+    z, _ = cam_g.nearest_sample(depth, kp.uv)
+    valid = kp.valid & (z > 0) & (z < 60.0)
+    return kp.uv, desc, valid, z
+
+
 @dataclasses.dataclass
 class ObjectRecord:
     frame: int
@@ -113,6 +130,7 @@ class MultiMotSystem:
         self._velocity = np.eye(4, dtype=np.float32)  # mVelocity analog
         self._result_spec = None
         self._feat_cache = None   # (frame_idx, features) — one extraction/frame
+        self._dev_images = None   # (frame_idx, gray_dev, depth_dev) handles
         self._win: List[dict] = []   # trailing window device tensors
         # mask-free mode: per-pair motion segmentation (pipeline/motion_seg)
         # synthesizes the instance masks the pipeline would otherwise read
@@ -237,6 +255,7 @@ class MultiMotSystem:
         gray, depth, flow, sem = (
             jnp.asarray(gray), jnp.asarray(depth), jnp.asarray(flow), jnp.asarray(sem)
         )
+        self._dev_images = (self._frame_idx, gray, depth)
         # discovery needs a velocity estimate (frame >= 2): with T_rel = I
         # the whole scene fails the ego-consistency gate and everything
         # would be flagged dynamic
@@ -360,21 +379,20 @@ class MultiMotSystem:
 
     # ------------------------------------------------------------------
     def _describe_frame(self, fd: FrameData):
-        """FAST + ORB + depth on a frame (keyframe/reloc features)."""
-        import jax.numpy as jnp
-
-        from multimot_track_tpu.frontend import fast, orb
-        from multimot_track_tpu.geometry import camera as cam_g
-
-        g = jnp.asarray(fd.gray)
-        kp = fast.detect_pyramid(g, n_levels=4, n_total=1024)
-        desc, _ = orb.describe(g, kp.uv)
-        depth = cam_g.disparity_png_to_depth(
-            jnp.asarray(fd.depth_raw), self.cfg.camera.bf
-        )
-        z, _ = cam_g.nearest_sample(depth, kp.uv)
-        valid = kp.valid & (z > 0) & (z < 60.0)
-        return kp.uv, desc, valid, z
+        """FAST + ORB + depth on a frame (keyframe/reloc/local-map
+        features) — ONE fused device dispatch, reusing the buffers
+        ``track_rgbd`` already uploaded when available (each extra
+        dispatch costs a tunnel round trip in live serving)."""
+        if self._dev_images is not None and self._dev_images[0] == self._frame_idx:
+            gray, depth = self._dev_images[1], self._dev_images[2]
+        else:
+            gray = jnp.asarray(
+                np.clip(np.nan_to_num(np.round(fd.gray)), 0, 255).astype(np.uint8)
+            )
+            depth = jnp.asarray(
+                np.clip(np.nan_to_num(fd.depth_raw), 0, 65535).astype(np.uint16)
+            )
+        return _describe_frame_device(gray, depth, self.cfg.camera.bf)
 
     def _frame_features(self, fd: FrameData):
         """Per-frame cache around ``_describe_frame``: local-map tracking,
