@@ -35,8 +35,7 @@ class DiscoveredObjects(NamedTuple):
     energy: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("step", "n_max", "n_hyp"))
-def discover_objects(
+def _discovery_problem(
     key: jax.Array,
     depth0: jnp.ndarray,     # (H, W) metric depth, frame k-1
     depth1: jnp.ndarray,     # (H, W) metric depth, frame k
@@ -49,7 +48,10 @@ def discover_objects(
     sf_thres: float = 0.12,
     max_depth: float = 40.0,
     sf_depth_coeff: float = 0.002,
-) -> DiscoveredObjects:
+):
+    """Everything up to (but excluding) the MRF labeling: candidate
+    extraction, hypothesis sampling, data costs, smoothness graph.
+    Returns (c_uv0, c_uv1, D, graph, mask)."""
     H, W = depth0.shape
     gi = jnp.arange(0, H, step)
     gj = jnp.arange(0, W, step)
@@ -93,9 +95,65 @@ def discover_objects(
     keep = graphcut.dedupe_hypotheses(hyps)
     D = graphcut.data_costs(hyps, c_X0, c_uv1, fx, fy, cx, cy)
     D = jnp.where(keep[None, :], D, 1e9)
+    return c_uv0, c_uv1, D, graph, mask
+
+
+@functools.partial(jax.jit, static_argnames=("step", "n_max", "n_hyp"))
+def discover_objects(
+    key: jax.Array,
+    depth0: jnp.ndarray,
+    depth1: jnp.ndarray,
+    flow: jnp.ndarray,
+    T_rel: jnp.ndarray,
+    fx, fy, cx, cy,
+    step: int = 8,
+    n_max: int = 1024,
+    n_hyp: int = 24,
+    sf_thres: float = 0.12,
+    max_depth: float = 40.0,
+    sf_depth_coeff: float = 0.002,
+) -> DiscoveredObjects:
+    c_uv0, c_uv1, D, graph, mask = _discovery_problem(
+        key, depth0, depth1, flow, T_rel, fx, fy, cx, cy,
+        step=step, n_max=n_max, n_hyp=n_hyp, sf_thres=sf_thres,
+        max_depth=max_depth, sf_depth_coeff=sf_depth_coeff,
+    )
     labels, energy = graphcut.segment(D, graph)
     return DiscoveredObjects(
         uv=c_uv0, uv_cur=c_uv1, labels=labels, valid=mask, energy=energy
+    )
+
+
+_discovery_problem_jit = functools.partial(
+    jax.jit, static_argnames=("step", "n_max", "n_hyp")
+)(_discovery_problem)
+
+
+def discover_objects_exact(
+    key: jax.Array,
+    depth0, depth1, flow, T_rel, fx, fy, cx, cy,
+    step: int = 8, n_max: int = 1024, n_hyp: int = 24,
+    sf_thres: float = 0.12, max_depth: float = 40.0,
+    sf_depth_coeff: float = 0.002,
+) -> DiscoveredObjects:
+    """Discovery with the EXACT native alpha-expansion labeler
+    (ops/graphcut.segment_exact over native/graphcut.cc) instead of the
+    on-device relaxation — the integration the reference sketched for gco
+    and never finished (src/Tracking.cc:4635-4836).  The problem
+    construction stays one jitted device program; only the labeling runs
+    on the host, so this is the offline-quality option (the jitted
+    ``discover_objects`` remains the production path)."""
+    import numpy as np
+
+    c_uv0, c_uv1, D, graph, mask = _discovery_problem_jit(
+        key, depth0, depth1, flow, T_rel, fx, fy, cx, cy,
+        step=step, n_max=n_max, n_hyp=n_hyp, sf_thres=sf_thres,
+        max_depth=max_depth, sf_depth_coeff=sf_depth_coeff,
+    )
+    labels, energy = graphcut.segment_exact(np.asarray(D), graph)
+    return DiscoveredObjects(
+        uv=c_uv0, uv_cur=c_uv1, labels=jnp.asarray(labels), valid=mask,
+        energy=jnp.asarray(energy, jnp.float32),
     )
 
 

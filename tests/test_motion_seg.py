@@ -76,3 +76,26 @@ def test_rasterize():
     # painted labels overlap the true box
     overlap = (mask > 0) & in_box
     assert overlap.sum() > 0.5 * (mask > 0).sum()
+
+
+def test_discover_objects_exact_matches_relaxation():
+    """The exact-labeler discovery (native alpha-expansion) must find the
+    same moving-box structure as the jitted relaxation, at an energy no
+    more than a hair apart (both solve the identical problem tensors)."""
+    depth0, depth1, flow, ego, in_box = synth_pair()
+    args = (
+        jax.random.PRNGKey(0),
+        jnp.asarray(depth0), jnp.asarray(depth1), jnp.asarray(flow),
+        jnp.asarray(ego), CAM.fx, CAM.fy, CAM.cx, CAM.cy,
+    )
+    kw = dict(step=8, n_max=512)
+    d_mf = motion_seg.discover_objects(*args, **kw)
+    d_ex = motion_seg.discover_objects_exact(*args, **kw)
+    v = np.asarray(d_ex.valid)
+    labs = np.asarray(d_ex.labels)[v]
+    uvs = np.asarray(d_ex.uv)[v]
+    inside = (uvs[:, 0] >= 195) & (uvs[:, 0] <= 325) & (uvs[:, 1] >= 55) & (uvs[:, 1] <= 145)
+    assert inside.mean() > 0.9, inside.mean()
+    assert (labs > 0).mean() > 0.7
+    e_mf, e_ex = float(d_mf.energy), float(d_ex.energy)
+    assert e_mf <= e_ex * 1.05 and e_ex <= e_mf * 1.05, (e_mf, e_ex)
