@@ -61,8 +61,16 @@ def initialize(
     configured, in which case initialisation is not needed).
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
+        return False
+    # NOTE: must not touch the XLA backend before jax.distributed comes up
+    # (jax.process_count()/jax.devices() would initialise it single-process
+    # and make distributed initialisation impossible) — probe the
+    # distributed client state directly instead.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        _initialized = True           # embedder already brought it up
         return False
     import os
 
@@ -80,6 +88,11 @@ def initialize(
             process_id=process_id,
             local_device_ids=local_device_ids,
         )
+    except ValueError:
+        # pod-ish environment variables present but no usable coordinator
+        # configuration (e.g. a tunnel-attached single chip advertising
+        # TPU_WORKER_HOSTNAMES): single-process, nothing to initialise
+        return False
     except RuntimeError as e:
         msg = str(e)
         if "already" in msg:  # initialised by the embedder
@@ -117,9 +130,16 @@ def make_process_mesh(
     n_proc = jax.process_count()
     if n_proc > 1:
         n_local = jax.local_device_count()
-        mesh_devs = mesh_utils.create_hybrid_device_mesh(
-            (1, n_local), (n_proc, 1), devices=devices
-        )
+        try:
+            mesh_devs = mesh_utils.create_hybrid_device_mesh(
+                (1, n_local), (n_proc, 1), devices=devices
+            )
+        except ValueError:
+            # non-TPU fleets (CPU/GPU over TCP): devices carry no slice
+            # topology, so lay the mesh out host-major by hand — same
+            # DCN-outer/ICI-inner intent, rows = processes
+            devs = sorted(devices, key=lambda d: (d.process_index, d.id))
+            mesh_devs = np.asarray(devs).reshape(n_proc, n_local)
         return Mesh(mesh_devs, (HOST_AXIS, PAIR_AXIS))
     h = int(emulate_hosts or 1)
     assert len(devices) % h == 0, (len(devices), h)
