@@ -52,3 +52,6 @@ def test_two_process_distributed_runtime(tmp_path):
         assert r["global_batch_sum_ok"], r
         # distributed == single-device to float32 exactness
         assert r["dist_vs_single_max_abs"] < 5e-4, r
+        # the FULL tracker, pair-sharded across both processes, matches a
+        # locally-computed reference on every addressable shard
+        assert r["tracker_shard_vs_local_max_abs"] < 5e-4, r

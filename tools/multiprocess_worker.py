@@ -112,6 +112,57 @@ def main():
         report["dist_vs_true_max_abs"] = err_vs_true
         assert err_vs_ref < 5e-4, err_vs_ref
         assert err_vs_true < 5e-3, err_vs_true
+
+        # ---- the FULL tracker, pair-sharded across both processes ----
+        # same synthetic sequence on every process (same seed); each
+        # process feeds only ITS pairs into the global batch, then checks
+        # its addressable shards against a locally-computed reference.
+        import __graft_entry__ as entrymod
+        from multimot_track_tpu.pipeline import batch as B_
+        from multimot_track_tpu.pipeline import frames as F
+
+        dcfg = entrymod._dryrun_cfg()
+        K = dcfg.padding.k_obj_max
+        n_pairs = 4 * nproc
+        nb = n_pairs + 1
+        H, W = dcfg.camera.height, dcfg.camera.width
+        rng2 = np.random.default_rng(1)
+        gray2 = rng2.integers(0, 255, (nb, H, W)).astype(np.uint8)
+        disp2 = rng2.uniform(2000, 20000, (nb, H, W)).astype(np.uint16)
+        fl2 = np.clip(rng2.normal(0, 1.5, (nb, H, W, 2)) * 128.0,
+                      -32767, 32767).astype(np.int16)
+        sem2 = np.zeros((nb, H, W), np.uint8)
+        sem2[:, 40:70, 60:120] = 1
+        gts = [F.make_gt_table(np.eye(4), [1], [np.eye(4)], K) for _ in range(nb)]
+        gt_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *gts)
+        obs = B_.frontend_batch(
+            jnp.asarray(gray2), jnp.asarray(disp2), jnp.asarray(fl2),
+            jnp.asarray(sem2), gt_stack, dcfg,
+        )
+        prev = jax.tree_util.tree_map(lambda x: np.asarray(x[:-1]), obs)
+        gt_cur = jax.tree_util.tree_map(lambda x: np.asarray(x[1:]), gt_stack)
+        keys = np.asarray(jax.random.split(jax.random.PRNGKey(0), n_pairs))
+        full = (keys, prev, gray2[1:], disp2[1:], sem2[1:], gt_cur)
+
+        # local single-device reference over ALL pairs
+        ref_res = B_.track_pairs(
+            *jax.tree_util.tree_map(jnp.asarray, full), dcfg
+        )
+        ref_T = np.asarray(ref_res.Tcw_cur)
+
+        lo, hi = pid * 4, (pid + 1) * 4
+        local_tree = jax.tree_util.tree_map(lambda x: x[lo:hi], full)
+        sharded = multihost.global_pair_batch(mesh, local_tree)
+        res = B_.track_pairs(*sharded, dcfg)
+        jax.block_until_ready(res)
+        assert res.Tcw_cur.shape == (n_pairs, 4, 4)
+        worst = 0.0
+        for sh in res.Tcw_cur.addressable_shards:
+            row = sh.index[0].start if sh.index[0].start is not None else 0
+            got = np.asarray(sh.data)
+            worst = max(worst, float(np.abs(got - ref_T[row:row + got.shape[0]]).max()))
+        report["tracker_shard_vs_local_max_abs"] = worst
+        assert worst < 5e-4, worst
         report["ok"] = True
     except Exception as e:  # pragma: no cover - surfaced via the verdict
         report["ok"] = False
