@@ -126,6 +126,20 @@ def _batched_match_counts(desc_q, valid_q, desc_stack, valid_stack):
     return jax.vmap(one)(desc_stack, valid_stack)
 
 
+@jax.jit
+def _adjacent_match_counts(desc_stack, valid_stack):
+    """(K-1,) covisibility weights of consecutive keyframe pairs in one
+    dispatch (KeyFrame::UpdateConnections for the temporal chain)."""
+
+    def one(da, va, db, vb):
+        res = matching.match_descriptors(da, db, va, vb, threshold=50.0)
+        return jnp.sum(res.valid.astype(jnp.int32))
+
+    return jax.vmap(one)(
+        desc_stack[:-1], valid_stack[:-1], desc_stack[1:], valid_stack[1:]
+    )
+
+
 @dataclasses.dataclass
 class Keyframe:
     index: int                 # frame index in the sequence
@@ -291,22 +305,35 @@ class KeyframeStore:
     def cull_redundant(self, overlap: float = 0.9) -> int:
         """Drop keyframes ~fully covisible with both neighbours
         (LocalMapping::KeyFrameCulling's 90% redundancy rule).  Returns the
-        number culled."""
-        culled = 0
+        number culled.
+
+        All adjacent covisibility weights are computed in ONE device
+        dispatch over the cached descriptor stack; culling is one marking
+        pass that never removes two adjacent keyframes in the same sweep
+        (so the weights stay valid without re-matching after each pop —
+        the next sweep sees the new adjacency)."""
+        K = len(self.frames)
+        if K < 3:
+            return 0
+        stacked = self._stacked_descriptors()
+        if stacked is not None:
+            c = np.asarray(_adjacent_match_counts(*stacked)[: K - 1])
+        else:  # heterogeneous store (test-built): per-pair fallback
+            c = np.asarray([self.covisibility(k, k + 1) for k in range(K - 1)])
+        drop = []
         k = 1
-        while k < len(self.frames) - 1:
-            kf = self.frames[k]
-            n_own = max(int(kf.valid.sum()), 1)
-            c_prev = self.covisibility(k, k - 1)
-            c_next = self.covisibility(k, k + 1)
-            if c_prev > overlap * n_own and c_next > overlap * n_own:
-                self.frames.pop(k)
-                culled += 1
+        while k < K - 1:
+            n_own = max(int(self.frames[k].valid.sum()), 1)
+            if c[k - 1] > overlap * n_own and c[k] > overlap * n_own:
+                drop.append(k)
+                k += 2   # keep the neighbour: its weights just changed
             else:
                 k += 1
-        if culled:
+        for k in reversed(drop):
+            self.frames.pop(k)
+        if drop:
             self._version += 1
-        return culled
+        return len(drop)
 
     def triangulate_between(
         self, i: int, j: int, fx, fy, cx, cy, max_reproj_px: float = 2.0

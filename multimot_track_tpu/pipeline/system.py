@@ -150,7 +150,6 @@ class MultiMotSystem:
         self.enable_loop_closing = enable_loop_closing and enable_keyframes
         self.loop_min_matches = loop_min_matches
         self.loop_min_kf_separation = loop_min_kf_separation
-        self._kf_to_traj: List[int] = []   # trajectory row of each stored KF
         if enable_keyframes:
             from multimot_track_tpu.pipeline.keyframes import KeyframeStore
 
@@ -195,7 +194,6 @@ class MultiMotSystem:
                     # loop closing) and the trailing window's tensors — a
                     # resumed run must track identically to an unbroken one
                     "keyframes": self.keyframes.frames if self.keyframes else None,
-                    "kf_to_traj": self._kf_to_traj,
                     "win": [
                         {k: (v if k == "row" else np.asarray(v)) for k, v in w.items()}
                         for w in self._win
@@ -226,7 +224,6 @@ class MultiMotSystem:
         if d.get("keyframes") is not None and self.keyframes is not None:
             self.keyframes.frames = d["keyframes"]
             self.keyframes._version += 1
-        self._kf_to_traj = d.get("kf_to_traj", [])
         self._win = [
             {k: (v if k == "row" else jnp.asarray(v)) for k, v in w.items()}
             for w in d.get("win", [])
@@ -460,10 +457,11 @@ class MultiMotSystem:
             )
         )
         if added:
-            # trajectory row of this frame (just recorded by _record)
-            self._kf_to_traj.append(len(self.map.camera_poses) - 1)
-            while len(self._kf_to_traj) > len(self.keyframes.frames):
-                self._kf_to_traj.pop(0)   # store evicted its oldest
+            # each keyframe's trajectory row IS its frame index (one
+            # camera_poses row per frame), so no parallel bookkeeping;
+            # LocalMapping::KeyFrameCulling runs here at keyframe cadence
+            # (all adjacent covisibilities = one device dispatch)
+            self.keyframes.cull_redundant()
         return added
 
     def _discover_mask(self, depth_u16_cur, key):
@@ -583,7 +581,8 @@ class MultiMotSystem:
             [np.linalg.inv(p).astype(np.float32) for p in self.map.camera_poses]
         )
         corrected, n_inl = self.keyframes.close_loop(
-            key, kf, cand, traj_Tcw, self._kf_to_traj,
+            key, kf, cand, traj_Tcw,
+            [k.index for k in self.keyframes.frames],
             cam.fx, cam.fy, cam.cx, cam.cy,
         )
         if n_inl == 0:
@@ -597,7 +596,7 @@ class MultiMotSystem:
         # point update, src/LoopClosing.cc:460-520) — otherwise reloc and
         # local-map tracking would keep serving the pre-correction frame
         self.keyframes.correct_poses(
-            [corrected[self._kf_to_traj[j]] for j in range(len(self.keyframes.frames))]
+            [corrected[k.index] for k in self.keyframes.frames]
         )
         if len(corrected) >= 2:
             self._velocity = (

@@ -2,10 +2,11 @@
 system with a deliberately tiny keyframe capacity.
 
 Exercises interactions no single-feature test covers: keyframe-store
-EVICTION while ``_kf_to_traj`` rows must stay aligned, repeated loop
-closures rewriting the trajectory (and re-anchoring keyframe map points),
-local-map tracking running across those corrections, and the dense-flow
-fallback over every pair (the fixture ships no .flo files)."""
+EVICTION and live redundancy CULLING while trajectory rows (derived from
+``kf.index``) must stay consistent, repeated loop closures rewriting the
+trajectory (and re-anchoring keyframe map points), local-map tracking
+running across those corrections, and the dense-flow fallback over every
+pair (the fixture ships no .flo files)."""
 
 import dataclasses
 
@@ -55,16 +56,12 @@ def test_marathon_shuttle(shuttle_dir):
     assert len(s.map.camera_poses) == 17
     assert all(np.isfinite(T).all() for T in s.map.camera_poses)
 
-    # eviction actually happened and the bookkeeping stayed aligned
-    assert len(s.keyframes.frames) == 5
-    assert len(s._kf_to_traj) == len(s.keyframes.frames)
-    assert all(
-        0 <= r < len(s.map.camera_poses) for r in s._kf_to_traj
-    ), s._kf_to_traj
-    assert s._kf_to_traj == sorted(s._kf_to_traj)
-    # rows must point at the keyframes' own capture frames
-    for kf, row in zip(s.keyframes.frames, s._kf_to_traj):
-        assert kf.index == row, (kf.index, row)
+    # eviction actually happened and the index invariant holds: every
+    # keyframe's trajectory row IS its frame index
+    assert len(s.keyframes.frames) <= 5
+    rows = [kf.index for kf in s.keyframes.frames]
+    assert all(0 <= r < len(s.map.camera_poses) for r in rows), rows
+    assert rows == sorted(rows)
 
     # the shuttle revisits the head twice: loop closing fired at least once
     assert len(s.map.loop_events) >= 1, s.map.loop_events

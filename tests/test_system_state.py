@@ -98,3 +98,15 @@ def test_keyframes_and_relocalization(kitti_sample_dir):
     Tcw_gt3 = np.linalg.inv(f3.pose_gt)
     E = T @ np.linalg.inv(Tcw_gt3)
     assert np.linalg.norm(E[:3, 3]) < 0.8, E[:3, 3]
+
+
+def test_live_culling_collapses_duplicate_keyframes(kitti_sample_dir):
+    """LocalMapping::KeyFrameCulling runs in the live loop: identical
+    frames produce >90%-covisible keyframes, and the middles get culled."""
+    seq = KittiSequence(kitti_sample_dir)
+    sys_ = MultiMotSystem(SMALL_CFG, keyframe_gap=1, enable_loop_closing=False)
+    for _ in range(5):
+        sys_.track_rgbd(seq.load_frame(0))
+    assert sys_.state == MultiMotSystem.STATE_OK
+    # without culling there would be 5 keyframes
+    assert 1 <= len(sys_.keyframes.frames) <= 3, len(sys_.keyframes.frames)
