@@ -84,6 +84,12 @@ class NativeKittiSequence(kitti.KittiSequence):
         )
         if not ok:
             raise IOError(f"native decode failed for frame {i}")
+        # the C loader zero-fills missing .flo files; route through the
+        # parent's fallback so a flow-less sequence gets on-device flow
+        # estimation exactly like the Python loader (a zero flow field
+        # silently kills every correspondence and the tracker goes LOST)
+        if not self.frame_paths(i)["flow"].exists():
+            flow = self._flow_or_estimate(i, gray)
         rows = self.obj_rows.get(i, [])
         obj_ids = np.asarray([int(r[1]) for r in rows], np.int32)
         obj_poses = (

@@ -33,3 +33,24 @@ def test_get_sequence_fallback(kitti_sample_dir):
     assert fr.gray.shape == (375, 1242)
     if hasattr(seq, "close"):
         seq.close()
+
+
+def test_native_estimates_missing_flow(tmp_path, kitti_sample_dir):
+    """A flow-less sequence through the NATIVE loader must estimate flow
+    on device like the Python loader (the C path zero-fills missing .flo,
+    which silently killed every correspondence in the CLI — regression)."""
+    from multimot_track_tpu.io.synth import build
+
+    dst = tmp_path / "noflo"
+    build(kitti_sample_dir, dst, order=[0, 1, 2])
+    seq = native_loader.get_sequence(dst)
+    fd = seq.load_frame(0)
+    assert np.abs(fd.flow).max() > 1.0, "flow was not estimated"
+    ref = KittiSequence(dst).load_frame(0)
+    # native C gray differs from the PIL path at float-rounding level;
+    # in ambiguous (textureless/occluded) regions that flips the block
+    # match — ~0.5% of pixels.  Everywhere else the flows agree.
+    d = np.abs(fd.flow - ref.flow).max(axis=-1)
+    assert (d < 0.1).mean() > 0.99, (d < 0.1).mean()
+    # last frame has no successor: zeros, like the Python loader
+    assert np.abs(seq.load_frame(2).flow).max() == 0.0
