@@ -48,3 +48,53 @@ def test_cli_mono(kitti_sample_dir, tmp_path):
     assert s["initialized"] is True
     # up-to-scale trajectory lands within decimetres of GT over ~5 m
     assert s["ego_ate_sim3_rmse_m"] < 0.3
+
+
+@pytest.mark.slow
+def test_cli_stereo_images_only(tmp_path):
+    """--stereo on an images-only sequence (no depth/, no flow/, no
+    semantic/): dense disparity + estimated flow on device, mask-free.
+    The stereo CLI path had no end-to-end coverage before."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    H, W = 96, 320
+    (tmp_path / "image_2").mkdir()
+    (tmp_path / "image_3").mkdir()
+    base = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    k = np.ones(3) / 3
+    for ax in (0, 1):
+        base = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), ax, base)
+    for i in range(3):
+        left = np.roll(base, 2 * i, axis=1).astype(np.uint8)   # ego slide
+        right = np.roll(left, -8, axis=1)
+        Image.fromarray(left).save(tmp_path / "image_2" / f"{i:06d}.png")
+        Image.fromarray(right).save(tmp_path / "image_3" / f"{i:06d}.png")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "multimot_track_tpu.cli",
+            str(tmp_path), "--cpu", "--stereo", "--frames", "3",
+        ],
+        capture_output=True, text=True, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"n_frames": 3' in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_tum(kitti_sample_dir, tmp_path):
+    """--tum drives a TUM-format download end to end (the reference's
+    rgbd_tum driver cannot read these at all)."""
+    from test_tum import build_tum_fixture
+
+    seq = build_tum_fixture(kitti_sample_dir, tmp_path / "tum")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "multimot_track_tpu.cli",
+            str(seq), "--cpu", "--tum", "--frames", "3",
+        ],
+        capture_output=True, text=True, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"n_frames": 3' in r.stdout

@@ -14,13 +14,14 @@ from multimot_track_tpu.geometry import se3
 BF = 387.5744
 
 
-@pytest.fixture(scope="module")
-def tum_dir(tmp_path_factory, kitti_sample_dir):
+def build_tum_fixture(src, dst):
+    """Write a 5-frame TUM-format sequence derived from kitti_sample
+    (shared with the CLI end-to-end test)."""
     import pathlib
 
-    src = pathlib.Path(kitti_sample_dir)
-    dst = tmp_path_factory.mktemp("tum_seq")
-    (dst / "rgb").mkdir()
+    src = pathlib.Path(src)
+    dst = pathlib.Path(dst)
+    (dst / "rgb").mkdir(parents=True)
     (dst / "depth").mkdir()
 
     poses = {}
@@ -53,6 +54,11 @@ def tum_dir(tmp_path_factory, kitti_sample_dir):
     (dst / "depth.txt").write_text("# depth\n" + "\n".join(dep_rows) + "\n")
     (dst / "groundtruth.txt").write_text("# gt\n" + "\n".join(gt_rows) + "\n")
     return dst
+
+
+@pytest.fixture(scope="module")
+def tum_dir(tmp_path_factory, kitti_sample_dir):
+    return build_tum_fixture(kitti_sample_dir, tmp_path_factory.mktemp("tum_seq"))
 
 
 def _rot_to_quat(R):
