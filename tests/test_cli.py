@@ -74,7 +74,8 @@ def test_cli_stereo_images_only(tmp_path):
     r = subprocess.run(
         [
             sys.executable, "-m", "multimot_track_tpu.cli",
-            str(tmp_path), "--cpu", "--stereo", "--frames", "3",
+            str(tmp_path), "--cpu", "--stereo", "--discover-objects",
+            "--frames", "3",
         ],
         capture_output=True, text=True, timeout=500,
     )
