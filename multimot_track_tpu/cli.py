@@ -58,6 +58,12 @@ def main(argv=None):
              "segmentation instead of reading semantic/",
     )
     ap.add_argument(
+        "--euroc", action="store_true",
+        help="sequence is an EuRoC MAV download (mav0/cam0 + sensor.yaml); "
+             "implies --mono; intrinsics+distortion from the dataset's own "
+             "metadata (mono_euroc driver role)",
+    )
+    ap.add_argument(
         "--tum", action="store_true",
         help="sequence is a TUM RGB-D download (rgb.txt/depth.txt/"
              "groundtruth.txt); intrinsics auto-detected, flow estimated "
@@ -82,7 +88,7 @@ def main(argv=None):
     elif (pathlib.Path(args.sequence) / "kitti03.yaml").exists():
         cfg = config_from_yaml(pathlib.Path(args.sequence) / "kitti03.yaml", cfg)
 
-    if args.mono:
+    if args.mono or args.euroc:
         return run_mono(args, cfg)
 
     if args.tum:
@@ -170,11 +176,24 @@ def run_mono(args, cfg):
     ATE against GT poses when the sequence provides them."""
     import jax.numpy as jnp
 
+    import dataclasses
+
     from multimot_track_tpu.eval import metrics
     from multimot_track_tpu.io.native_loader import get_sequence
     from multimot_track_tpu.pipeline.mono import MonoTracker
 
-    seq = get_sequence(args.sequence)
+    if args.euroc:
+        from multimot_track_tpu.io.euroc import EurocSequence
+
+        seq = EurocSequence(args.sequence)
+        cfg = dataclasses.replace(cfg, camera=seq.camera_config())
+    elif args.tum:
+        from multimot_track_tpu.io.tum import TumRGBDSequence
+
+        seq = TumRGBDSequence(args.sequence)
+        cfg = dataclasses.replace(cfg, camera=seq.camera_config())
+    else:
+        seq = get_sequence(args.sequence)
     n = len(seq) if args.frames is None else min(args.frames, len(seq))
     tracker = MonoTracker(cfg)
     gt_list = []

@@ -27,6 +27,18 @@ class CameraConfig:
     height: int = 375
     fps: float = 10.0
     depth_map_factor: float = 100.0   # DepthMapFactor (TUM-style depth pngs)
+    # Brown-Conrady lens distortion (Camera.k1/k2/p1/p2/k3 in the OpenCV
+    # settings YAML; reference undistorts keypoint coordinates only,
+    # src/Frame.cc:787-811).  All-zero = pinhole (KITTI rectified).
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+
+    @property
+    def has_distortion(self) -> bool:
+        return any(v != 0.0 for v in (self.k1, self.k2, self.p1, self.p2, self.k3))
 
     @property
     def K(self) -> Tuple[Tuple[float, float, float], ...]:

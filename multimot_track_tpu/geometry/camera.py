@@ -79,3 +79,42 @@ def nearest_sample(img: jnp.ndarray, uv: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.
     uc = jnp.clip(u, 0, W - 1)
     vc = jnp.clip(v, 0, H - 1)
     return img[vc, uc], inb
+
+
+def distort_normalized(xy: jnp.ndarray, k1, k2, p1, p2, k3=0.0) -> jnp.ndarray:
+    """Apply Brown-Conrady distortion to normalized coords (..., 2)."""
+    x, y = xy[..., 0], xy[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack([xd, yd], axis=-1)
+
+
+def undistort_points(
+    uv: jnp.ndarray, fx, fy, cx, cy, k1, k2, p1, p2, k3=0.0, iters: int = 8
+) -> jnp.ndarray:
+    """Invert Brown-Conrady distortion on pixel keypoints (..., 2).
+
+    The reference undistorts keypoint coordinates only (the image itself
+    stays distorted) via cv::undistortPoints and re-applies K
+    (Frame::UndistortKeyPoints, src/Frame.cc:787-811).  Same numerics
+    here: normalize, fixed-point iterate x <- (xd - dt(x)) / radial(x)
+    (the identical compensation loop OpenCV runs), re-project with K.
+    Fully vectorised and jittable — a fixed ``iters``-step unrolled loop
+    instead of data-dependent convergence tests.
+    """
+    xd = jnp.stack([(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy], axis=-1)
+    x = xd
+    for _ in range(iters):
+        xx, yy = x[..., 0], x[..., 1]
+        r2 = xx * xx + yy * yy
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        dtx = 2.0 * p1 * xx * yy + p2 * (r2 + 2.0 * xx * xx)
+        dty = p1 * (r2 + 2.0 * yy * yy) + 2.0 * p2 * xx * yy
+        x = jnp.stack(
+            [(xd[..., 0] - dtx) / radial, (xd[..., 1] - dty) / radial], axis=-1
+        )
+    return jnp.stack(
+        [x[..., 0] * fx + cx, x[..., 1] * fy + cy], axis=-1
+    )

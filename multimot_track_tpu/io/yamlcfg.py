@@ -38,6 +38,11 @@ def config_from_yaml(path, base: PipelineConfig = DEFAULT_CONFIG) -> PipelineCon
         height=int(g("Camera.height", base.camera.height)),
         fps=float(g("Camera.fps", base.camera.fps)),
         depth_map_factor=float(g("DepthMapFactor", base.camera.depth_map_factor)),
+        k1=float(g("Camera.k1", base.camera.k1)),
+        k2=float(g("Camera.k2", base.camera.k2)),
+        p1=float(g("Camera.p1", base.camera.p1)),
+        p2=float(g("Camera.p2", base.camera.p2)),
+        k3=float(g("Camera.k3", base.camera.k3)),
     )
     fe = dataclasses.replace(
         base.frontend,

@@ -58,7 +58,18 @@ class MonoTracker:
             n_total=self.n_kp,
         )
         desc, ang = orb.describe(g, kp.uv)
-        return np.asarray(kp.uv), np.asarray(desc), np.asarray(kp.valid)
+        uv = kp.uv
+        cam = self.cfg.camera
+        if cam.has_distortion:
+            # describe on the raw (distorted) image at the detected pixel,
+            # undistort only the coordinate used for geometry — exactly the
+            # reference's mvKeys / mvKeysUn split (Frame::UndistortKeyPoints,
+            # src/Frame.cc:787-811).  Needed for TUM/EuRoC mono lenses.
+            uv = camera.undistort_points(
+                uv, cam.fx, cam.fy, cam.cx, cam.cy,
+                cam.k1, cam.k2, cam.p1, cam.p2, cam.k3,
+            )
+        return np.asarray(uv), np.asarray(desc), np.asarray(kp.valid)
 
     def track(self, gray: np.ndarray) -> np.ndarray:
         """Feed a frame; returns the current Tcw estimate."""
