@@ -85,14 +85,20 @@ class EurocSequence:
         if not cam_dir.is_dir():
             raise FileNotFoundError(f"no cam0/ under {root}")
 
-        self._stamps: List[float] = []
+        # Keep the dataset's int64 nanosecond stamps exactly; float64 epoch
+        # seconds only resolve ~2.4e-7 s at EuRoC's ~1.4e9 s stamps, so the
+        # public `timestamp` is relative seconds from the sequence start
+        # (exact inter-frame spacing at double precision).
+        self._stamps_ns: List[int] = []
         self._files: List[pathlib.Path] = []
         with open(cam_dir / "data.csv") as f:
             for row in csv.reader(f):
                 if not row or row[0].lstrip().startswith("#"):
                     continue
-                self._stamps.append(int(row[0]) * 1e-9)
+                self._stamps_ns.append(int(row[0]))
                 self._files.append(cam_dir / "data" / row[1].strip())
+        t0_ns = self._stamps_ns[0] if self._stamps_ns else 0
+        self._stamps: List[float] = [(ns - t0_ns) * 1e-9 for ns in self._stamps_ns]
 
         sensor = {}
         if (cam_dir / "sensor.yaml").exists():
@@ -113,12 +119,12 @@ class EurocSequence:
                     T = np.eye(4, dtype=np.float32)
                     T[:3, 3] = v[1:4]
                     T[:3, :3] = _quat_to_R(v[4], v[5], v[6], v[7])
-                    ts.append(v[0] * 1e-9)
+                    ts.append(int(row[0]))
                     poses.append(T)
-            ts = np.asarray(ts)
-            for i, s in enumerate(self._stamps):
+            ts = np.asarray(ts, np.int64)
+            for i, s in enumerate(self._stamps_ns):
                 j = int(np.argmin(np.abs(ts - s)))
-                if abs(ts[j] - s) <= max_gt_dt:
+                if abs(ts[j] - s) * 1e-9 <= max_gt_dt:
                     # camera-to-world = T_WB @ T_BS (T_BS maps cam -> body)
                     self._gt[i] = poses[j] @ self.T_BS
 

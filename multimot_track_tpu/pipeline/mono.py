@@ -151,6 +151,12 @@ class MonoTracker:
         idx = np.asarray(m.idx)
         Xw_cur[idx[good]] = X_new[good]
         Xw_vld[idx[good]] = True
+        # persist existing map points across frames (the reference's MapPoints
+        # live until culled, src/MapPoint.cc) — re-triangulating tracked points
+        # every frame lets monocular scale drift; keeping them anchors it.
+        persist = pnp_valid
+        Xw_cur[idx[persist]] = Xw_prev[persist]
+        Xw_vld[idx[persist]] = True
         self.state = MonoState(uv, desc, valid, Xw_cur, Xw_vld, Tcw.astype(np.float32))
         self.poses.append(Tcw.astype(np.float32))
         return self.poses[-1]
