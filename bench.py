@@ -1,27 +1,28 @@
-"""Benchmark: end-to-end multi-motion tracking frames/s on one chip.
+"""Benchmark: end-to-end serving throughput on one chip, long sequence.
 
-Measures the TPU-native *batched streaming* mode: every repetition is an
-independent request (its own image upload, its own RNG seed perturbing
-the solve) dispatched asynchronously — requests overlap exactly as a
-production serving pipeline overlaps them — and all packed results are
-fetched at the end.  Throughput = total frames / wall time.  The
-sequential per-request mode (upload -> solve -> fetch, one blocking sync
-per request) is reported alongside for the latency-oriented reader.
+Primary metric (the reference head-to-head): a 57-frame sequence at
+KITTI resolution served through the *streaming* pipeline — chunked
+dispatch (8 pairs/program), device-resident boundary carry, wire codec
+v2 (gray8 + 12-bit disparity + half-res 12-bit flow + 4-bit labels,
+1.75 MB/frame), async uploads overlapping device compute, ONE draining
+fetch at the end.  Throughput = frames / wall seconds, median of 3 runs.
+
+The reference's comparable number is its per-frame tracking time
+(Examples/RGB-D/rgbd_tum.cc:158-203 times SLAM.TrackRGBD only — image
+and .flo DISK loads are outside its timer), measured on this machine at
+4.2 frames/s (tools/build_reference.sh, PARITY.md).  Mirroring that
+boundary, host-side wire packing happens outside the timed window; the
+timed window covers upload + all device compute + result download,
+i.e. everything between "frame bytes ready" and "trajectory out".
 
 Prints ONE JSON line:
-  {"metric": "kitti_sample_frames_per_s", "value": N, "unit": "frames/s",
-   "vs_baseline": N / REF_FPS, ...}
+  {"metric": "long_seq_frames_per_s", "value": N, "unit": "frames/s",
+   "vs_baseline": N / 4.2, ...}
 
-Baseline: the reference publishes no numbers, so we built and ran it on
-this machine (tools/build_reference.sh, PARITY.md): steady-state tracking
-takes 0.179-0.401 s/frame => 4.2 frames/s.  vs_baseline is the speed-up
-over that measured reference throughput.
-
-NOTE the tunnel: this environment attaches the chip through a link whose
-bandwidth and sync latency vary by the hour (measured 15-35 MB/s upload,
-0.05-0.6 s per blocking sync).  Device compute is ~6 ms/frame (PERF.md);
-everything above that is the link.  device_pairs_per_s reports the
-chained-scan device-only throughput from PERF.json.
+Execution-dedup defenses (the remote runtime caches identical
+executions): every frame occurrence carries a flipped low gray bit
+unique to (run, occurrence), and every pair solves under a distinct RNG
+key, so no two dispatched programs ever see identical inputs.
 """
 
 REF_FPS = 4.2  # measured: mean of reference ttrack_seconds frames 1-4
@@ -39,72 +40,78 @@ def main():
 
     from multimot_track_tpu.config import DEFAULT_CONFIG
     from multimot_track_tpu.io.native_loader import get_sequence
-    from multimot_track_tpu.pipeline import batch as B_
-    from multimot_track_tpu.pipeline import frames as F
-    from multimot_track_tpu.pipeline.batch import run_sequence_batched
+    from multimot_track_tpu.pipeline import batch as B
 
-    seq = get_sequence("/root/reference/kitti_sample")
-    frames = [seq.load_frame(i) for i in range(len(seq))]
     cfg = DEFAULT_CONFIG
-    K = cfg.padding.k_obj_max
-    n_pairs = len(frames) - 1
+    seq = get_sequence("/root/reference/kitti_sample")
+    base_frames = [seq.load_frame(i) for i in range(len(seq))]
+    nb = len(base_frames)
 
-    # warm-up compiles the batched programs (and gives the sequential mode)
-    run_sequence_batched(frames, cfg)
+    N_FRAMES = 57
+    CHUNK = 8
+    order = [i % nb for i in range(N_FRAMES)]
+    tiled = [base_frames[i] for i in order]
+    # pairs whose stored forward flow genuinely maps frame k -> k+1
+    # (wrap pairs 4->0 reuse frame 4's flow; their metrics are excluded
+    # from the sanity gate, their compute cost is identical)
+    genuine = [k for k in range(N_FRAMES - 1) if order[k + 1] == order[k] + 1]
 
-    # ---- sequential mode: one blocking round trip per request ----
-    seq_durs = []
+    base_wires = [B.pack_frame_wire(fd, cfg) for fd in tiled]
+
+    def wires_for_run(r):
+        ws = []
+        for k, w in enumerate(base_wires):
+            g = w["gray"].copy()
+            g.flat[(r * N_FRAMES + k) % g.size] ^= 1
+            ws.append(dict(w, gray=g))
+        return ws
+
+    # ---- warm-up: compiles frontend_one + stream_chunk(CHUNK) ----
+    B.run_sequence_streaming(tiled[: CHUNK + 1], cfg, chunk=CHUNK,
+                             prepacked=wires_for_run(99)[: CHUNK + 1])
+
+    # ---- per-request latency: one 5-frame request, blocking ----
+    lat_durs = []
     for r in range(3):
         t0 = time.perf_counter()
-        run_sequence_batched(frames, cfg, seed=100 + r)
-        seq_durs.append(time.perf_counter() - t0)
-    seq_durs.sort()
-    seq_fps = n_pairs / seq_durs[len(seq_durs) // 2]
+        B.run_sequence_streaming(tiled[:5], cfg, seed=50 + r, chunk=CHUNK,
+                                 prepacked=wires_for_run(50 + r)[:5])
+        lat_durs.append(time.perf_counter() - t0)
+    seq_fps = 4 / sorted(lat_durs)[1]
 
-    # ---- streaming mode: all requests in flight, one final fetch ----
-    base = dict(
-        gray=np.stack([np.clip(np.round(f.gray), 0, 255).astype(np.uint8) for f in frames]),
-        depth=np.stack([np.clip(f.depth_raw, 0, 65535).astype(np.uint16) for f in frames]),
-        flow=np.stack([B_.pack_flow12(f.flow) for f in frames]),
-        sem=np.stack([B_.pack_sem4(f.sem_mask) for f in frames]),
-    )
-    gts = [F.make_gt_table(f.pose_gt, f.obj_ids_gt, f.obj_poses_gt, K) for f in frames]
-    gt_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *gts)
-
-    # median of 3 windows: the tunnel shows transient multi-second stalls
-    # (measured 2x run-to-run swings); one window cannot be trusted alone
-    reps = 10
-    window_fps = []
-    for w in range(3):
+    # ---- long-sequence streaming throughput (median of 3 runs) ----
+    run_fps = []
+    Tcw = res = records = None
+    for r in range(3):
+        ws = wires_for_run(r)
         t0 = time.perf_counter()
-        handles = []
-        for r in range(reps):
-            # distinct request data: flip one low bit per rep (the remote
-            # runtime dedups identical executions)
-            g = base["gray"].copy()
-            g.flat[w * reps + r] ^= 1
-            gray = jnp.asarray(g)
-            depth = jnp.asarray(base["depth"])
-            flow = jnp.asarray(base["flow"])
-            sem = jnp.asarray(base["sem"])
-            obs = B_.frontend_batch(gray, depth, flow, sem, gt_stack, cfg)
-            keys = jax.random.split(jax.random.PRNGKey(w * reps + r), n_pairs)
-            handles.append(
-                B_.track_batch_packed(keys, obs, gray, depth, sem, gt_stack, cfg)
-            )
-        results = [np.asarray(h) for h in handles]   # one draining fetch
-        stream_s = time.perf_counter() - t0
-        assert all(np.isfinite(v).all() for v in results)
-        window_fps.append(reps * n_pairs / stream_s)
-    window_fps.sort()
-    fps = window_fps[1]
+        Tcw, res, records = B.run_sequence_streaming(
+            tiled, cfg, seed=r, chunk=CHUNK, prepacked=ws
+        )
+        dt = time.perf_counter() - t0
+        run_fps.append(N_FRAMES / dt)
+
+    # sanity: the run must be a real tracking run, not a degenerate one
+    assert np.isfinite(Tcw).all()
+    rel = np.asarray(res.cam_t_rpe_rel)[genuine]
+    assert float(np.mean(rel)) < 0.20, rel
+    assert sum(1 for rec in records if rec["has_gt"]) >= len(genuine) // 2
+
+    run_fps.sort()
+    fps = run_fps[1]
 
     out = {
-        "metric": "kitti_sample_frames_per_s",
+        "metric": "long_seq_frames_per_s",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_FPS, 3),
+        "n_frames": N_FRAMES,
         "sequential_fps": round(seq_fps, 3),
+        "runs": [round(v, 3) for v in run_fps],
+        "wire_mb_per_frame": round(
+            sum(v.nbytes for v in base_wires[0].values()) / 1e6, 3
+        ),
+        "cam_t_rpe_genuine_pairs": round(float(np.mean(rel)), 4),
     }
     # device-compute-only throughput (PERF.md chained-scan slope timing,
     # immune to the tunnel) when characterized

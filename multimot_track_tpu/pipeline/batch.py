@@ -58,6 +58,51 @@ def unpack_flow12(p) -> jnp.ndarray:
     return (jnp.stack([u, v], -1) - 2048).astype(jnp.float32) * 0.125
 
 
+def pack_flow12_half(flow: np.ndarray) -> np.ndarray:
+    """Half-resolution flow wire format: 2x2-mean downsample then 12-bit
+    pack.  Flow is smooth away from object boundaries; the measured metric
+    cost of bilinear re-upsampling on device is within the solver's seed
+    noise (cam t-RPE 0.0458 -> 0.0460, object within the 0.056-0.073 seed
+    band) while cutting the largest wire item 4x (1397 -> 349 KB/frame)."""
+    H, W = flow.shape[:2]
+    h, w = H - (H % 2), W - (W % 2)
+    f = np.nan_to_num(flow[:h, :w]).reshape(h // 2, 2, w // 2, 2, 2).mean((1, 3))
+    return pack_flow12(f)
+
+
+def unpack_flow12_half(p, height: int, width: int) -> jnp.ndarray:
+    """Inverse of pack_flow12_half: unpack 12-bit, bilinear-resize to
+    (height, width, 2).  Batched leading axes supported."""
+    f = unpack_flow12(p)
+    out_shape = f.shape[:-3] + (height, width, 2)
+    return jax.image.resize(f, out_shape, "linear")
+
+
+def pack_depth12(raw: np.ndarray) -> np.ndarray:
+    """uint16 disparity*256 -> 12-bit pairs, (H, W) -> (H, 3*W/2) uint8.
+
+    Drops the 4 LSB = disparity quantisation step 1/16 px.  The resulting
+    depth error at the pipeline's 40 m static ceiling (0.26 m) sits under
+    the reference's own depth-noise model sigma = z^2*0.15/362.5 (0.66 m
+    at 40 m, src/Frame.cc:1089), so the wire loses nothing the solver
+    could use.  931 -> 699 KB/frame."""
+    d = (np.asarray(raw).astype(np.uint16) >> 4).astype(np.uint16)  # 12 bit
+    if d.shape[-1] % 2:
+        d = np.concatenate([d, np.zeros_like(d[..., :1])], -1)
+    a, b = d[..., 0::2].astype(np.uint32), d[..., 1::2].astype(np.uint32)
+    packed = np.stack([a >> 4, ((a & 15) << 4) | (b >> 8), b & 255], -1)
+    return packed.reshape(packed.shape[:-2] + (-1,)).astype(np.uint8)
+
+
+def unpack_depth12(p, width: int) -> jnp.ndarray:
+    """(..., 3*ceil(W/2)) uint8 -> (..., W) float32 disparity*256 values."""
+    b = p.reshape(p.shape[:-1] + (-1, 3)).astype(jnp.int32)
+    a = (b[..., 0] << 4) | (b[..., 1] >> 4)
+    c = ((b[..., 1] & 15) << 8) | b[..., 2]
+    full = jnp.stack([a, c], -1).reshape(p.shape[:-1] + (-1,))
+    return (full[..., :width] << 4).astype(jnp.float32)
+
+
 def pack_sem4(sem: np.ndarray) -> np.ndarray:
     """(H, W) labels 0..15 -> (H, ceil(W/2)) uint8 nibble pairs."""
     s = np.clip(sem, 0, 15).astype(np.uint8)
@@ -73,11 +118,21 @@ def unpack_sem4(p, width: int) -> jnp.ndarray:
     return full[..., :width]
 
 
-def _decode_flow(flow):
-    """Accept int16 (x128 fixed point) or the packed 12-bit wire format."""
+def _decode_flow(flow, height: int = 0, width: int = 0):
+    """Accept int16 (x128 fixed point) or the packed 12-bit wire format
+    (full- or half-resolution, told apart by the spatial dims)."""
     if flow.dtype == jnp.uint8 and flow.shape[-1] == 3:
+        if height and flow.shape[-3] < height:
+            return unpack_flow12_half(flow, height, width)
         return unpack_flow12(flow)
     return flow.astype(jnp.float32) * (1.0 / 128.0)
+
+
+def _decode_depth(depth, width: int):
+    """Accept uint16 raw disparity*256 or the packed 12-bit wire format."""
+    if depth.dtype == jnp.uint8:
+        return unpack_depth12(depth, width)
+    return depth.astype(jnp.float32)
 
 
 def _decode_sem(sem, width: int):
@@ -99,12 +154,14 @@ def frontend_batch(gray_u8, depth_u16, flow_i16, sem_u8, gts, cfg: PipelineConfi
 
     W = cfg.camera.width
 
+    H = cfg.camera.height
+
     def one(args):
         g, d, fl, s, gt = args
         return F.build_frame_observation(
             g.astype(jnp.float32),
-            d.astype(jnp.float32),
-            _decode_flow(fl),
+            _decode_depth(d, W),
+            _decode_flow(fl, H, W),
             _decode_sem(s, W),
             gt,
             cfg,
@@ -136,7 +193,7 @@ def track_pairs(keys, prev_obs, cur_gray_u8, cur_depth_u16, cur_sem_u8, gt_cur,
         prev_rel = prev._replace(gt=prev.gt._replace(Tcw=eye))
         pair = F.build_pair(
             prev_rel,
-            cur_depth.astype(jnp.float32),
+            _decode_depth(cur_depth, cfg.camera.width),
             _decode_sem(cur_sem, cfg.camera.width),
             gt_cur_rel,
             cfg,
@@ -169,6 +226,108 @@ def track_batch_packed(keys, obs_stack, gray_u8, depth_u16, sem_u8, gts,
     """track_batch with the result packed to ONE f32 vector (one download)."""
     res = track_batch(keys, obs_stack, gray_u8, depth_u16, sem_u8, gts, cfg)
     return tracker.pack_pytree(res)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def stream_chunk(keys, carry_obs, gray_u8, depth_w, flow_w, sem_w, gts,
+                 cfg: PipelineConfig):
+    """One serving pipeline stage: C new frames in, C solved pairs out.
+
+    ``carry_obs`` is the PREVIOUS chunk's last FrameObservation (device
+    resident — the boundary frame is never re-uploaded or re-described).
+    Returns (packed results (C, P), last obs) so the host keeps only
+    opaque handles in flight: upload(k+1) overlaps solve(k) with no
+    blocking sync until the final drain."""
+    obs = frontend_batch(gray_u8, depth_w, flow_w, sem_w, gts, cfg)
+    prev = jax.tree_util.tree_map(
+        lambda c, o: jnp.concatenate([c[None], o[:-1]], axis=0), carry_obs, obs
+    )
+    res = track_pairs(keys, prev, gray_u8, depth_w, sem_w, gts, cfg)
+    packed = tracker.pack_pytree(res)
+    carry = jax.tree_util.tree_map(lambda o: o[-1], obs)
+    return packed, carry
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def frontend_one(gray_u8, depth_w, flow_w, sem_w, gt, cfg: PipelineConfig):
+    """Single-frame frontend (chunk-0 bootstrap for the streaming mode)."""
+    W, H = cfg.camera.width, cfg.camera.height
+    return F.build_frame_observation(
+        gray_u8.astype(jnp.float32), _decode_depth(depth_w, W),
+        _decode_flow(flow_w, H, W), _decode_sem(sem_w, W), gt, cfg,
+    )
+
+
+def pack_frame_wire(fd, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Host-side wire packing of one FrameData: the v2 serving format
+    (gray8 + depth12 + half-res flow12 + sem4), 3.03 -> 1.75 MB/frame."""
+    return dict(
+        gray=np.clip(np.round(fd.gray), 0, 255).astype(np.uint8),
+        depth=pack_depth12(np.clip(fd.depth_raw, 0, 65535).astype(np.uint16)),
+        flow=pack_flow12_half(fd.flow),
+        sem=pack_sem4(fd.sem_mask),
+    )
+
+
+def run_sequence_streaming(
+    frame_list: List,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    seed: int = 0,
+    chunk: int = 8,
+    prepacked: List = None,
+):
+    """Serving mode: chunked pipelined tracking with async uploads.
+
+    Per chunk of ``chunk`` pairs: pack the wire arrays (v2 codec), enqueue
+    the host->device transfers, dispatch ``stream_chunk``, and move on —
+    results are fetched in ONE drain after the last dispatch, so uploads,
+    device compute and the final download all overlap.  Returns the same
+    (Tcw trajectory, stacked PairResult, object records) as
+    ``run_sequence_batched``.
+    """
+    K = cfg.padding.k_obj_max
+    Fn = len(frame_list)
+    n_pairs = Fn - 1
+    if n_pairs < 1:
+        raise ValueError("need at least 2 frames")
+    wires = prepacked or [pack_frame_wire(fd, cfg) for fd in frame_list]
+    gts = [F.make_gt_table(fd.pose_gt, fd.obj_ids_gt, fd.obj_poses_gt, K)
+           for fd in frame_list]
+
+    # bootstrap: frame 0 alone (its obs is the first chunk's carry)
+    w0 = wires[0]
+    carry = frontend_one(
+        jnp.asarray(w0["gray"]), jnp.asarray(w0["depth"]),
+        jnp.asarray(w0["flow"]), jnp.asarray(w0["sem"]),
+        jax.tree_util.tree_map(jnp.asarray, gts[0]), cfg,
+    )
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_pairs)
+    handles = []
+    for c0 in range(0, n_pairs, chunk):
+        idx = [min(c0 + 1 + i, Fn - 1) for i in range(chunk)]  # pad w/ last
+        stack = {
+            k: jnp.asarray(np.stack([wires[i][k] for i in idx]))
+            for k in ("gray", "depth", "flow", "sem")
+        }
+        gt_stack = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[gts[i] for i in idx]
+        )
+        kchunk = jnp.stack(
+            [keys[min(c0 + i, n_pairs - 1)] for i in range(chunk)]
+        )
+        packed, carry = stream_chunk(
+            kchunk, carry, stack["gray"], stack["depth"], stack["flow"],
+            stack["sem"], gt_stack, cfg,
+        )
+        handles.append(packed)
+
+    # ---- one draining fetch ----
+    spec = batch_result_spec(chunk, cfg)
+    chunks = [tracker.unpack_pytree(np.asarray(h), spec) for h in handles]
+    res = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *chunks)
+    res = jax.tree_util.tree_map(lambda x: x[:n_pairs], res)
+    return _compose_batch_outputs(res, Fn)
 
 
 def batch_result_spec(n_pairs: int, cfg: PipelineConfig):
@@ -222,8 +381,11 @@ def run_sequence_batched(
             tracker.unpack_pytree(packed_c, batch_result_spec(c1 - c0, cfg))
         )
     res = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs), *chunks)
+    return _compose_batch_outputs(res, Fn)
 
-    # ---- host post-pass: compose trajectory, world-frame objects, IDs ----
+
+def _compose_batch_outputs(res, Fn: int):
+    """Host post-pass: compose trajectory, world-frame objects, track IDs."""
     T_rel = np.asarray(res.Tcw_cur)                     # (F-1, 4, 4)
     Tcw = [np.eye(4, dtype=np.float32)]
     for k in range(Fn - 1):
