@@ -246,6 +246,27 @@ class BackendConfig:
     local_map_min_inliers: int = 40   # accept only well-constrained refinements
     local_map_max_corr_m: float = 0.5   # reject translations larger than this
     local_map_max_rot_deg: float = 2.0  # ... and rotations larger than this
+    # Joint ego+object sliding-window BA at keyframe cadence — the
+    # LocalBundleAdjustment counterpart extended with per-object motions
+    # (ref src/Optimizer.cc:3341 driven from src/LocalMapping.cc:48; the
+    # object extension is the BASELINE.md "sliding-window multi-object BA"
+    # target).  Observations are re-derived on device from the window's
+    # buffered image tensors (zero extra upload); initialisation comes
+    # from the online per-pair poses and object measurements (P_lc).
+    joint_window_refine: bool = True
+    joint_static_max: int = 1024      # static grid points per pair
+    joint_static_stride: int = 12     # sampling stride for the static grid
+    joint_obj_pts: int = 128          # object points per pair per slot
+    joint_iters: int = 12             # LM iterations of the joint solve
+    joint_w_smooth: float = 100.0     # constant-motion prior information
+    # prior weights measured on kitti_sample (sweep in round-3 notes):
+    # refined object t-RPE 0.0665 -> 0.0539 with camera RPE unchanged
+    # (0.0541); weaker motion priors let the window's rawer object points
+    # out-vote the online ensemble estimate and degrade it instead
+    joint_w_odo: float = 4e4          # online-pose odometry prior
+    joint_w_motion_prior: float = 800.0  # online object-motion prior
+    joint_obj_gate_px: float = 1.5    # outlier gate at the online init
+    joint_max_corr_m: float = 0.5     # acceptance gate on pose corrections
 
 
 @dataclasses.dataclass(frozen=True)

@@ -172,3 +172,52 @@ def keypoint_disparity(
     disp = best.astype(jnp.float32) + jnp.clip(delta, -1.0, 1.0)
     valid = (best > 0) & (best < max_disp - 1) & (xi - best >= 0)
     return disp, valid
+
+
+@functools.partial(jax.jit, static_argnames=("n_kp",))
+def quad_temporal_matches(
+    gray_L0: jnp.ndarray, gray_R0: jnp.ndarray,
+    gray_L1: jnp.ndarray, gray_R1: jnp.ndarray,
+    disp0: jnp.ndarray, disp1: jnp.ndarray,
+    flow0: jnp.ndarray,
+    n_kp: int = 512,
+    radius: float = 15.0,
+):
+    """Quad-consistent stereo-temporal matching, end to end on device.
+
+    The reference's stereo frames carry a per-keypoint L/R descriptor
+    association (``vDescIndex``, src/Frame.cc:854-1035) that
+    ``ORBmatcher::SearchByQuad`` (src/ORBmatcher.cc:1704-1842) consumes:
+    a temporal match must be descriptor-consistent in last-L, last-R,
+    cur-L AND cur-R.  TPU shape: FAST on each left view; ORB descriptors
+    on the left keypoints and on their disparity-shifted right positions
+    (the vDescIndex association); flow predicts the temporal search
+    centre; ops.matching.search_by_quad fuses the four-view criterion.
+
+    Returns (uv0, uv1, valid): matched current positions per last-frame
+    keypoint slot.
+    """
+    from multimot_track_tpu.frontend import fast, orb
+    from multimot_track_tpu.geometry import camera as cam_g
+    from multimot_track_tpu.ops import matching
+
+    kp0 = fast.detect_pyramid(gray_L0, n_levels=4, n_total=n_kp)
+    kp1 = fast.detect_pyramid(gray_L1, n_levels=4, n_total=n_kp)
+    d0, in0 = cam_g.nearest_sample(disp0, kp0.uv)
+    d1, in1 = cam_g.nearest_sample(disp1, kp1.uv)
+    uvR0 = kp0.uv - jnp.stack([d0, jnp.zeros_like(d0)], -1)
+    uvR1 = kp1.uv - jnp.stack([d1, jnp.zeros_like(d1)], -1)
+    descL0, _ = orb.describe(gray_L0, kp0.uv)
+    descR0, _ = orb.describe(gray_R0, uvR0)
+    descL1, _ = orb.describe(gray_L1, kp1.uv)
+    descR1, _ = orb.describe(gray_R1, uvR1)
+    f0, _ = cam_g.nearest_sample(flow0[..., 0], kp0.uv)
+    f0y, _ = cam_g.nearest_sample(flow0[..., 1], kp0.uv)
+    uv_pred = kp0.uv + jnp.stack([f0, f0y], -1)
+    valid0 = kp0.valid & in0 & (d0 > 0) & (uvR0[:, 0] >= 0)
+    valid1 = kp1.valid & in1 & (d1 > 0) & (uvR1[:, 0] >= 0)
+    res = matching.search_by_quad(
+        descL0, descR0, descL1, descR1, uv_pred, kp1.uv, valid0, valid1,
+        radius=radius,
+    )
+    return kp0.uv, kp1.uv[res.idx], res.valid

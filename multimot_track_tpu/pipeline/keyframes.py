@@ -114,6 +114,42 @@ def local_map_refine(
     return T, n, jnp.sum(matched.astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _fuse_scan(
+    Tcw_new, desc_new, uv_new, valid_new, Xw_new,       # the new keyframe
+    Xw_prev, desc_prev, valid_prev,                     # stacked prev (L, N, ...)
+    fx, fy, cx, cy, width, height,
+    radius: float = 6.0,
+    rel3d: float = 0.02,
+):
+    """Duplicate-landmark detection of ``L`` previous keyframes against the
+    new one, all in ONE dispatch (the ORBmatcher::Fuse projection pass,
+    src/ORBmatcher.cc, driven from SearchInNeighbors,
+    src/LocalMapping.cc:458).  A previous point that projects into the new
+    view, matches a new descriptor within ``radius`` px AND whose stored
+    3-D position agrees to ``rel3d * z`` is the same landmark.
+
+    Returns (dup (L, N) bool, in_view (L, N) bool, new_idx (L, N) int32)."""
+
+    def one(Xw_l, desc_l, valid_l):
+        y = se3.transform(Tcw_new, Xw_l)
+        uv_pred = cam_g.project(y, fx, fy, cx, cy)
+        in_view = (
+            valid_l & (y[..., 2] > 0.5)
+            & (uv_pred[..., 0] >= 0) & (uv_pred[..., 0] < width)
+            & (uv_pred[..., 1] >= 0) & (uv_pred[..., 1] < height)
+        )
+        res = matching.match_projected(
+            desc_l, uv_pred, in_view, desc_new, uv_new, valid_new,
+            radius=radius,
+        )
+        d3 = jnp.linalg.norm(Xw_new[res.idx] - Xw_l, axis=-1)
+        dup = res.valid & (d3 < rel3d * jnp.maximum(y[..., 2], 0.5))
+        return dup, in_view, res.idx
+
+    return jax.vmap(one)(Xw_prev, desc_prev, valid_prev)
+
+
 @jax.jit
 def _batched_match_counts(desc_q, valid_q, desc_stack, valid_stack):
     """(K,) mutual-match counts of one query against a keyframe stack —
@@ -148,19 +184,38 @@ class Keyframe:
     desc: np.ndarray           # (N, 256) int8 sign-form descriptors
     valid: np.ndarray          # (N,)
     Xw: np.ndarray             # (N, 3) world points (from depth at capture)
+    # map-point lifecycle counters (MapPoint::IncreaseVisible/IncreaseFound,
+    # src/MapPoint.cc; consumed by fuse_and_cull's found-ratio cull)
+    seen: np.ndarray = None    # (N,) int32 — times projected into a new KF
+    found: np.ndarray = None   # (N,) int32 — times re-matched there
+
+    def __post_init__(self):
+        if self.seen is None:
+            self.seen = np.ones(self.valid.shape[0], np.int32)
+        if self.found is None:
+            self.found = np.ones(self.valid.shape[0], np.int32)
 
 
 class KeyframeStore:
     """Host-side list of device-friendly keyframe arrays (the functional
     replacement for the mutex-guarded KeyFrame pointer graph)."""
 
-    def __init__(self, capacity: int = 64, min_gap: int = 5):
+    def __init__(self, capacity: int = 64, min_gap: int = 5,
+                 bow_threshold: int = 48, bow_shortlist: int = 8):
         self.capacity = capacity
         self.min_gap = min_gap
         self.frames: List[Keyframe] = []
         self._version = 0            # bumped on any mutation; keys the caches
         self._local_cache = None     # local_map arrays, keyed on version
         self._stack_cache = None     # descriptor stack, keyed on version
+        # BoW-scale retrieval (ops/bow, the DBoW2/KeyFrameDatabase role):
+        # above `bow_threshold` stored keyframes, place recognition runs a
+        # TF-IDF signature matvec first and exact descriptor matching only
+        # on the `bow_shortlist` best candidates — sub-linear in exact work
+        self.bow_threshold = bow_threshold
+        self.bow_shortlist = bow_shortlist
+        self._voc = None             # trained lazily at the threshold
+        self._sigs: dict = {}        # id(kf) -> (V,) signature
 
     def maybe_add(self, kf: Keyframe) -> bool:
         if self.frames and kf.index - self.frames[-1].index < self.min_gap:
@@ -256,17 +311,60 @@ class KeyframeStore:
         self._stack_cache = (sig, arrays)
         return arrays
 
+    def _bow_signature(self, desc, valid) -> np.ndarray:
+        from multimot_track_tpu.ops import bow
+
+        if self._voc is None:
+            # train once from the store's early descriptors (DBoW2 trains
+            # its vocabulary offline; on-the-fly from the live scene works
+            # because retrieval only ranks within this same scene)
+            train = np.concatenate([kf.desc for kf in self.frames[:8]], axis=0)
+            tval = np.concatenate([kf.valid for kf in self.frames[:8]], axis=0)
+            self._voc = bow.train_vocabulary(
+                jax.random.PRNGKey(0), jnp.asarray(train), jnp.asarray(tval)
+            )
+        return np.asarray(bow.signature(self._voc, desc, valid))
+
+    def _bow_scores(self, desc, valid, K: int) -> np.ndarray:
+        """Two-stage retrieval (KeyFrameDatabase::DetectLoopCandidates at
+        DBoW2 scale): TF-IDF signature matvec over ALL keyframes, exact
+        descriptor match-counts only on the best ``bow_shortlist``."""
+        from multimot_track_tpu.ops import bow
+
+        q = self._bow_signature(desc, valid)
+        sigs = []
+        for kf in self.frames[:K]:
+            s = self._sigs.get(id(kf))
+            if s is None:
+                s = self._bow_signature(jnp.asarray(kf.desc), jnp.asarray(kf.valid))
+                self._sigs[id(kf)] = s
+            sigs.append(s)
+        sim = np.asarray(bow.retrieve(jnp.asarray(q), jnp.asarray(np.stack(sigs))))
+        short = np.argsort(sim)[::-1][: self.bow_shortlist]
+        scores = np.zeros(K, np.int32)
+        for k in short:
+            kf = self.frames[int(k)]
+            res = matching.match_descriptors(
+                desc, jnp.asarray(kf.desc), valid, jnp.asarray(kf.valid)
+            )
+            scores[int(k)] = int(jnp.sum(res.valid))
+        return scores
+
     def similarity_scores(
         self, desc: jnp.ndarray, valid: jnp.ndarray, exclude_last: int = 2
     ) -> np.ndarray:
         """Match count against every stored keyframe (place recognition).
 
-        All keyframes are scored in ONE device dispatch (a vmapped matmul
-        over the cached descriptor stack) — the per-keyframe loop this
-        replaces cost one tunnel round trip per stored keyframe."""
+        Small stores: all keyframes scored in ONE device dispatch (a
+        vmapped matmul over the cached descriptor stack).  Above
+        ``bow_threshold`` keyframes: BoW two-stage retrieval (``ops/bow``,
+        the DBoW2 inverted-index role) — exact scores only for the
+        signature shortlist, zeros elsewhere."""
         K = len(self.frames) - exclude_last
         if K <= 0:
             return np.zeros(max(K, 0), np.int32)
+        if len(self.frames) > self.bow_threshold:
+            return self._bow_scores(desc, valid, K)
         stacked = self._stacked_descriptors()
         if stacked is None:   # heterogeneous store (test-built): slow path
             scores = np.zeros(K, np.int32)
@@ -301,6 +399,73 @@ class KeyframeStore:
             threshold=threshold,
         )
         return int(jnp.sum(res.valid))
+
+    def fuse_and_cull(
+        self,
+        fx, fy, cx, cy, width, height,
+        n_prev: int = 4,
+        radius: float = 6.0,
+        rel3d: float = 0.02,
+        cull_min_seen: int = 3,
+        cull_ratio: float = 0.25,
+    ) -> Tuple[int, int]:
+        """Map-point lifecycle at keyframe cadence: duplicate-landmark
+        fusion + bad-point culling (LocalMapping::SearchInNeighbors ->
+        ORBmatcher::Fuse, src/LocalMapping.cc:458, and MapPointCulling,
+        src/LocalMapping.cc:173).
+
+        The newest keyframe is matched against the previous ``n_prev``
+        (one batched device dispatch).  A previous copy of a landmark the
+        new keyframe re-observes is invalidated — the store keeps exactly
+        one live copy, the newest measurement — and its found-count is
+        credited to the survivor (the reference keeps the most-observed
+        copy; on a forward-moving rig the newest view has the smallest
+        depth variance, so newest == best here).  Points repeatedly
+        projected into new keyframes but never re-found decay and are
+        culled at the reference's 0.25 found-ratio.
+
+        Returns (n_fused, n_culled)."""
+        if len(self.frames) < 2:
+            return 0, 0
+        new = self.frames[-1]
+        prevs = self.frames[max(0, len(self.frames) - 1 - n_prev):-1]
+        if len({kf.desc.shape[0] for kf in prevs} | {new.desc.shape[0]}) != 1:
+            return 0, 0    # heterogeneous store (test-built): skip
+        dup, in_view, idx = _fuse_scan(
+            jnp.asarray(new.Tcw), jnp.asarray(new.desc), jnp.asarray(new.uv),
+            jnp.asarray(new.valid), jnp.asarray(new.Xw),
+            jnp.asarray(np.stack([kf.Xw for kf in prevs])),
+            jnp.asarray(np.stack([kf.desc for kf in prevs])),
+            jnp.asarray(np.stack([kf.valid for kf in prevs])),
+            fx, fy, cx, cy, width, height, radius, rel3d,
+        )
+        dup = np.asarray(dup)
+        in_view = np.asarray(in_view)
+        idx = np.asarray(idx)
+        n_fused = n_culled = 0
+        for l, kf in enumerate(prevs):
+            d, v, ix = dup[l], in_view[l], idx[l]
+            kf.seen = kf.seen + v.astype(np.int32)
+            kf.found = kf.found + d.astype(np.int32)
+            # fusion: newest copy survives, inherits the observation count
+            np.add.at(new.found, ix[d], kf.found[d])
+            kf.valid = kf.valid & ~d
+            n_fused += int(d.sum())
+            # culling: often visible, rarely re-found (found-ratio < 0.25)
+            bad = (
+                kf.valid
+                & (kf.seen >= cull_min_seen)
+                & (kf.found < cull_ratio * kf.seen)
+            )
+            kf.valid = kf.valid & ~bad
+            n_culled += int(bad.sum())
+        if n_fused or n_culled:
+            self._version += 1
+        return n_fused, n_culled
+
+    def n_live_points(self) -> int:
+        """Total live map points across the store (lifecycle observability)."""
+        return int(sum(kf.valid.sum() for kf in self.frames))
 
     def cull_redundant(self, overlap: float = 0.9) -> int:
         """Drop keyframes ~fully covisible with both neighbours

@@ -128,6 +128,7 @@ class MultiMotSystem:
         self.max_lost_frames = max_lost_frames
         self._lost_streak = 0
         self._velocity = np.eye(4, dtype=np.float32)  # mVelocity analog
+        self.n_joint_refines = 0   # joint ego+object window BA invocations
         self._result_spec = None
         self._feat_cache = None   # (frame_idx, features) — one extraction/frame
         self._dev_images = None   # (frame_idx, gray_dev, depth_dev) handles
@@ -355,6 +356,20 @@ class MultiMotSystem:
             # after _record so the keyframe's trajectory row exists; a
             # successful loop closure rewrites the recorded trajectory
             added = self._maybe_add_keyframe(fd, np.asarray(result.Tcw_cur))
+            if added and cfg.backend.joint_window_refine:
+                # joint ego+object windowed BA at keyframe cadence (the
+                # LocalBundleAdjustment rung, extended with object motions)
+                joint_last = self._refine_joint_window()
+                if joint_last is not None:
+                    result = result._replace(Tcw_cur=jnp.asarray(joint_last))
+                    new_ctx = new_ctx._replace(Tcw_last=jnp.asarray(joint_last))
+                    if len(self.map.camera_poses) >= 2:
+                        self._velocity = (
+                            joint_last @ self.map.camera_poses[-2]
+                        ).astype(np.float32)
+                        new_ctx = new_ctx._replace(
+                            T_velocity=jnp.asarray(self._velocity)
+                        )
             if added and self.enable_loop_closing:
                 corrected_last = self._maybe_close_loop(step_key)
                 if corrected_last is not None:
@@ -459,8 +474,13 @@ class MultiMotSystem:
         if added:
             # each keyframe's trajectory row IS its frame index (one
             # camera_poses row per frame), so no parallel bookkeeping;
-            # LocalMapping::KeyFrameCulling runs here at keyframe cadence
-            # (all adjacent covisibilities = one device dispatch)
+            # the LocalMapping maintenance pass runs here at keyframe
+            # cadence: duplicate-landmark fusion + found-ratio culling
+            # (SearchInNeighbors/Fuse + MapPointCulling), then
+            # KeyFrameCulling (all covisibilities = one device dispatch)
+            self.keyframes.fuse_and_cull(
+                cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height
+            )
             self.keyframes.cull_redundant()
         return added
 
@@ -517,7 +537,11 @@ class MultiMotSystem:
     def _push_window(self, gray, depth, flow, sem, traj_row: int):
         """Keep the trailing window's device tensors for the refiner (and
         the mask-free discovery, which needs the previous frame)."""
-        if not (self.cfg.backend.window_refine or self.discover_objects):
+        if not (
+            self.cfg.backend.window_refine
+            or self.cfg.backend.joint_window_refine
+            or self.discover_objects
+        ):
             return
         self._win.append(
             {"gray": gray, "depth": depth, "flow": flow, "sem": sem, "row": traj_row}
@@ -556,6 +580,89 @@ class MultiMotSystem:
         for f, r in enumerate(rows):
             Tcw_new = (poses_out[f] @ Tcw_abs[0]).astype(np.float32)
             self.map.camera_poses[r] = np.linalg.inv(Tcw_new).astype(np.float32)
+        return (poses_out[-1] @ Tcw_abs[0]).astype(np.float32)
+
+    def _refine_joint_window(self) -> Optional[np.ndarray]:
+        """Joint ego + multi-object BA over the trailing window at keyframe
+        cadence (reference LocalBundleAdjustment, src/Optimizer.cc:3341,
+        extended with per-pair object motions under a constant-motion
+        prior — the BASELINE "sliding-window multi-object BA" target).
+
+        Rewrites the window's trajectory rows AND the window records'
+        camera-independent object measurements (P_lc), so the refined
+        object metrics (``refined_obj_metrics``) evaluate the jointly
+        optimized motions.  Returns the refined current Tcw, or None when
+        the window has no objects / fails the acceptance gates."""
+        from multimot_track_tpu.pipeline import window_refine
+
+        be = self.cfg.backend
+        K = self.cfg.padding.k_obj_max
+        if len(self._win) < be.window_size:
+            return None
+        rows = [w["row"] for w in self._win]
+        # LOST gaps break the pair <-> stored-flow alignment
+        if any(rows[i + 1] - rows[i] != 1 for i in range(len(rows) - 1)):
+            return None
+        Wn = len(rows)
+        Tcw_abs = [
+            np.linalg.inv(self.map.camera_poses[r]).astype(np.float32) for r in rows
+        ]
+        Twc0 = np.linalg.inv(Tcw_abs[0]).astype(np.float32)
+        poses_rel = np.stack([T @ Twc0 for T in Tcw_abs])
+
+        # per-pair object motion init from the records' P_lc measurement,
+        # re-anchored into window-relative world coordinates
+        H_init = np.tile(np.eye(4, dtype=np.float32), (Wn - 1, K, 1, 1))
+        H_valid = np.zeros((Wn - 1, K), bool)
+        rec_idx = {
+            (rec.frame, rec.sem_label): i
+            for i, rec in enumerate(self.map.obj_records)
+        }
+        used = {}
+        for f in range(Wn - 1):
+            for k in range(K):
+                i = rec_idx.get((rows[f + 1], k + 1))
+                if i is None or self.map.obj_records[i].P_lc is None:
+                    continue
+                H_init[f, k] = (
+                    np.linalg.inv(poses_rel[f + 1])
+                    @ self.map.obj_records[i].P_lc
+                    @ poses_rel[f]
+                )
+                H_valid[f, k] = True
+                used[(f, k)] = i
+        if not used:
+            return None    # ego-only windows are the per-frame refiner's job
+        self.n_joint_refines += 1
+
+        poses_out, motions_out, _ = window_refine.refine_joint_window(
+            jnp.asarray(poses_rel), jnp.asarray(H_init), jnp.asarray(H_valid),
+            jnp.stack([w["gray"] for w in self._win]),
+            jnp.stack([w["depth"] for w in self._win]),
+            jnp.stack([w["flow"] for w in self._win[:-1]]),
+            jnp.stack([w["sem"] for w in self._win]),
+            self.cfg,
+        )
+        poses_out = np.asarray(poses_out)
+        motions_out = np.asarray(motions_out)
+        if not (np.isfinite(poses_out).all() and np.isfinite(motions_out).all()):
+            return None
+        for f in range(Wn):
+            d = poses_out[f] @ np.linalg.inv(poses_rel[f])
+            if np.linalg.norm(d[:3, 3]) > be.joint_max_corr_m:
+                return None
+
+        # commit: trajectory rows + refined object measurements
+        for f, r in enumerate(rows):
+            Tcw_new = (poses_out[f] @ Tcw_abs[0]).astype(np.float32)
+            self.map.camera_poses[r] = np.linalg.inv(Tcw_new).astype(np.float32)
+        for (f, k), i in used.items():
+            P_new = (
+                poses_out[f + 1]
+                @ motions_out[f, k]
+                @ np.linalg.inv(poses_out[f])
+            )
+            self.map.obj_records[i].P_lc = P_new.astype(np.float32)
         return (poses_out[-1] @ Tcw_abs[0]).astype(np.float32)
 
     def _maybe_close_loop(self, key) -> Optional[np.ndarray]:

@@ -26,6 +26,116 @@ from multimot_track_tpu.solvers.window_ba import WindowBAParams, solve_window_ba
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def refine_joint_window(
+    poses_rel: jnp.ndarray,     # (W, 4, 4) Tcw relative to window frame 0
+    H_init: jnp.ndarray,        # (W-1, K, 4, 4) window-world object motions
+    H_valid: jnp.ndarray,       # (W-1, K) bool
+    grays_u8: jnp.ndarray,      # (W, H, W)
+    depths_u16: jnp.ndarray,    # (W, H, W) raw disparity*256
+    flows_i16: jnp.ndarray,     # (W-1, H, W, 2) flow k -> k+1, *128
+    sems_u8: jnp.ndarray,       # (W, H, W) instance masks
+    cfg: PipelineConfig,
+):
+    """Joint ego + multi-object windowed BA (LocalBundleAdjustment extended
+    with object motions, ref src/Optimizer.cc:3341 + BASELINE.md's
+    "sliding-window multi-object BA").
+
+    One fused program per keyframe: the per-pair static/object observations
+    are re-derived from the window's buffered image tensors (depth, flow,
+    masks are already device-resident from ``full_step``), then the dense
+    joint LM of solvers/multi_window_ba refines all window camera poses and
+    all per-pair object motions together under a constant-motion prior.
+    Returns (poses (W,4,4), motions (W-1,K,4,4), chi2).
+    """
+    from multimot_track_tpu.frontend import sampling
+    from multimot_track_tpu.solvers import multi_window_ba
+
+    be, cam, fe = cfg.backend, cfg.camera, cfg.frontend
+    K = cfg.padding.k_obj_max
+    Wn = poses_rel.shape[0]
+    Himg, Wimg = grays_u8.shape[-2:]
+
+    depths = jax.vmap(
+        lambda d: camera.disparity_png_to_depth(d.astype(jnp.float32), cam.bf)
+    )(depths_u16)
+    flows = flows_i16.astype(jnp.float32) * (1.0 / 128.0)
+    sems = sems_u8.astype(jnp.int32)
+
+    stride = be.joint_static_stride
+    Nst = be.joint_static_max
+    M = be.joint_obj_pts
+
+    def pair_obs(depth, sem, flow, gray, gray_next):
+        # --- static grid: off-mask, valid depth, flow target in-bounds ---
+        gi = jnp.arange(0, Himg, stride)
+        gj = jnp.arange(0, Wimg, stride)
+        yy, xx = jnp.meshgrid(gi, gj, indexing="ij")
+        d = depth[yy, xx]
+        lab = sem[yy, xx]
+        f = flow[yy, xx]
+        xs, ys = xx.astype(jnp.float32), yy.astype(jnp.float32)
+        nx, ny = xs + f[..., 0], ys + f[..., 1]
+        ok = (
+            (lab == 0) & (d > 0) & (d < fe.static_max_depth)
+            & (nx > 0) & (nx < Wimg) & (ny > 0) & (ny < Himg)
+        )
+        uv = jnp.stack([xs, ys], -1).reshape(-1, 2)
+        _, m_s, uv_s, z_s, f_s = sampling.compact(
+            ok, Nst, uv, d.reshape(-1), f.reshape(-1, 2)
+        )
+        # photometric verification of the flow correspondence (the
+        # pairwise solver's ZNCC gate): raw grid points sit on textureless
+        # road/sky where the precomputed flow is interpolated and biased —
+        # ungated they drag the window scale (measured 0.8 m tail
+        # corrections on kitti_sample); corner-grade verified points do not
+        from multimot_track_tpu.ops import photometric
+
+        r = cfg.solver.zncc_patch_radius
+        p0 = photometric.extract_patches(gray, uv_s, r)
+        p1 = photometric.extract_patches(gray_next, uv_s + f_s, r)
+        m_s = m_s & (photometric.zncc(p0, p1) > be.window_zncc_min)
+        # depth-variance weighting (sigma_z ~ z^2): fixed depths are
+        # measurements; unweighted they bias the window scale exactly as
+        # they bias the per-pair solve (SolverConfig.cam_depth_weight_z0)
+        z0 = cfg.solver.cam_depth_weight_z0
+        m_s = m_s.astype(jnp.float32) / (1.0 + (z_s / z0) ** 2)
+
+        # --- object points: the tracker's dense sampling, split by slot ---
+        s = sampling.sample_dense_objects(
+            depth, sem, flow, step=fe.obj_sample_step,
+            max_depth=fe.obj_max_depth, n_max=4 * M * K,
+        )
+
+        def per_slot(k):
+            vk = s.valid & (s.label == k + 1)
+            _, m_o, uv_o, z_o, f_o = sampling.compact(
+                vk, M, s.uv, s.depth, s.flow
+            )
+            return uv_o, f_o, z_o, m_o
+
+        ob_uv, ob_fl, ob_z, ob_m = jax.vmap(per_slot)(jnp.arange(K))
+        return uv_s, f_s, z_s, m_s, ob_uv, ob_fl, ob_z, ob_m
+
+    grays = grays_u8.astype(jnp.float32)
+    st_uv, st_fl, st_z, st_m, ob_uv, ob_fl, ob_z, ob_m = jax.vmap(pair_obs)(
+        depths[:-1], sems[:-1], flows, grays[:-1], grays[1:]
+    )
+
+    res = multi_window_ba.refine_window(
+        poses_rel, H_init, H_valid,
+        st_uv, st_fl, st_z, st_m,
+        ob_uv, ob_fl, ob_z, ob_m,
+        cam.fx, cam.fy, cam.cx, cam.cy,
+        params=multi_window_ba.MultiWindowParams(
+            iters=be.joint_iters, w_smooth=be.joint_w_smooth,
+            w_odo=be.joint_w_odo, w_motion_prior=be.joint_w_motion_prior,
+            obj_init_gate_px=be.joint_obj_gate_px,
+        ),
+    )
+    return res.poses, res.motions, res.chi2
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def refine_trailing_window(
     poses_rel: jnp.ndarray,     # (W, 4, 4) Tcw relative to window frame 0 (I)
     grays_u8: jnp.ndarray,      # (W, H, W) window gray frames

@@ -412,7 +412,7 @@ def solve_flow_ba_pallas(
 
     kern = _make_kernel(p, float(fx), float(fy), float(cx), float(cy))
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    tout, fout, chi2_pl, stats = pl.pallas_call(
+    call = pl.pallas_call(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct((1, _LANES), f32),
@@ -428,7 +428,22 @@ def solve_flow_ba_pallas(
             bytes_accessed=(12 * N + 4 * _LANES) * 4,
             transcendentals=p.iters * 8,
         ),
-    )(tin, xw_pl, obs_pl, fm_pl, val_pl, wpt_pl)
+    )
+    # ERRATUM FENCE (header): a batch<=1 execution of this kernel under
+    # lax.scan silently returns its init pose on the current toolchain,
+    # and the dispatch layer cannot see whether a caller scans it.  The
+    # kernel therefore ALWAYS runs with an internal instance batch of 2
+    # (the verified-correct form, including under scan and under outer
+    # vmaps, where the grid becomes 2K); instance 1 is a duplicate whose
+    # outputs are discarded by the slice below.  The pallas_call is one
+    # opaque custom call, so XLA cannot DCE the duplicate instance.  Cost:
+    # one extra 17 us kernel instance per solve — noise next to the 27 ms
+    # pair program (PERF.md).
+    dup = lambda x: jnp.stack([x, x])
+    tout, fout, chi2_pl, stats = jax.vmap(call)(
+        dup(tin), dup(xw_pl), dup(obs_pl), dup(fm_pl), dup(val_pl), dup(wpt_pl)
+    )
+    tout, fout, chi2_pl, stats = tout[0], fout[0], chi2_pl[0], stats[0]
 
     T = tout[0, :16].reshape(4, 4)
     f = fout.reshape(2, N).T

@@ -36,6 +36,22 @@ class MultiWindowParams(NamedTuple):
     w_static: float = 1.0
     w_object: float = 1.0
     w_smooth: float = 100.0     # information on the constant-motion prior
+    # se(3) information of the online per-pair relative poses fused as
+    # odometry prior edges (same formulation as window_ba's
+    # odo_prior_weight: r = Log(T_f T_{f-1}^-1 Z_f^-1)).  Without it the
+    # window's flow residuals alone let corrections grow along the window
+    # (measured 0.88 m at the tail on kitti_sample) — the online solves
+    # are measurements too and must anchor the joint refinement.
+    w_odo: float = 0.0
+    # se(3) prior holding each object motion near its online estimate
+    # (r = sqrt(w) * eta): the online ensemble solve is a strong
+    # measurement; the window should nudge it with cross-pair evidence,
+    # not re-estimate it from the rawer windowed points.
+    w_motion_prior: float = 0.0
+    # drop object points whose residual under the ONLINE init exceeds this
+    # (px; 0 disables) — mask bleed / bad boundary flow never enters
+    # (LocalBundleAdjustment's outlier-edge removal after the first pass)
+    obj_init_gate_px: float = 0.0
     lam: float = 1e-3
 
 
@@ -53,17 +69,33 @@ def refine_window(
     st_uv: jnp.ndarray,          # (F-1, N, 2) last-frame static obs per pair
     st_flow: jnp.ndarray,        # (F-1, N, 2)
     st_depth: jnp.ndarray,       # (F-1, N)
-    st_valid: jnp.ndarray,       # (F-1, N)
+    st_valid: jnp.ndarray,       # (F-1, N) bool mask or float weights
     ob_uv: jnp.ndarray,          # (F-1, K, M, 2) object points per pair/object
     ob_flow: jnp.ndarray,        # (F-1, K, M, 2)
     ob_depth: jnp.ndarray,       # (F-1, K, M)
-    ob_valid: jnp.ndarray,       # (F-1, K, M)
+    ob_valid: jnp.ndarray,       # (F-1, K, M) bool mask or float weights
     fx: float, fy: float, cx: float, cy: float,
     params: MultiWindowParams = MultiWindowParams(),
 ) -> MultiWindowResult:
     p = params
     F = poses_init.shape[0]
     K = motions_init.shape[1]
+    Z_odo = jnp.einsum(
+        "fij,fjk->fik", poses_init[1:], se3.inverse(poses_init[:-1])
+    )                                              # (F-1, 4, 4) measured rels
+
+    if p.obj_init_gate_px > 0.0:
+        # one-shot outlier gate at the online init (v = 0)
+        Twl0 = se3.inverse(poses_init[:-1])
+        Tc0 = poses_init[1:]
+        Xo0 = camera.backproject(ob_uv, ob_depth, fx, fy, cx, cy)
+        Xw0 = jnp.einsum("fij,fkmj->fkmi", Twl0[:, :3, :3], Xo0) + Twl0[:, None, None, :3, 3]
+        Xh0 = jnp.einsum("fkij,fkmj->fkmi", motions_init[..., :3, :3], Xw0) + motions_init[..., None, :3, 3]
+        yo0 = jnp.einsum("fij,fkmj->fkmi", Tc0[:, :3, :3], Xh0) + Tc0[:, None, None, :3, 3]
+        r0 = (ob_uv + ob_flow) - camera.project(yo0, fx, fy, cx, cy)
+        ob_valid = ob_valid * (
+            jnp.sum(r0 * r0, -1) < p.obj_init_gate_px ** 2
+        ).astype(ob_valid.dtype)
 
     def unpack(v):
         xi = v[: 6 * (F - 1)].reshape(F - 1, 6)
@@ -79,20 +111,24 @@ def refine_window(
         Twl = se3.inverse(T[:-1])                      # (F-1, 4, 4)
         Tc = T[1:]
 
-        def hub(r2, w):
-            d2 = p.huber_px ** 2
-            rho = jnp.where(r2 <= d2, r2, 2 * p.huber_px * jnp.sqrt(jnp.maximum(r2, 1e-20)) - d2)
-            return jnp.sqrt(jnp.maximum(rho, 0.0) * w)
+        def rw(r, w, mask):
+            """Robust (Huber-IRLS) weighted residual rows.  The weight is
+            frozen per linearisation (stop_gradient — classic IRLS): it
+            keeps jacfwd away from sqrt(0) (the mag*unit split NaNs for
+            exactly-zero residuals, e.g. every padded point when a term's
+            weight is 0) AND keeps the GN step from being shrunk by the
+            weight's own derivative."""
+            r2 = jnp.sum(r * r, -1)
+            wi = jnp.minimum(1.0, p.huber_px / jnp.sqrt(r2 + 1e-12))
+            wi = jax.lax.stop_gradient(wi)
+            return (mask.astype(r.dtype) * jnp.sqrt(w * wi))[..., None] * r
 
         # static: r = (obs + flow) - pi(Tc_f Twc_{f-1} X_l)
         Xl = camera.backproject(st_uv, st_depth, fx, fy, cx, cy)   # (F-1, N, 3)
         Xw = jnp.einsum("fij,fnj->fni", Twl[:, :3, :3], Xl) + Twl[:, None, :3, 3]
         y = jnp.einsum("fij,fnj->fni", Tc[:, :3, :3], Xw) + Tc[:, None, :3, 3]
         r_s = (st_uv + st_flow) - camera.project(y, fx, fy, cx, cy)
-        r2s = jnp.sum(r_s * r_s, -1)
-        mag_s = hub(r2s, p.w_static) * st_valid
-        unit_s = r_s / jnp.sqrt(jnp.maximum(r2s, 1e-20))[..., None]
-        out_s = (mag_s[..., None] * unit_s).reshape(-1)
+        out_s = rw(r_s, p.w_static, st_valid).reshape(-1)
 
         # objects: r = (obs + flow) - pi(Tc_f H_{f,k} Twc_{f-1} X_l)
         Xo = camera.backproject(ob_uv, ob_depth, fx, fy, cx, cy)   # (F-1, K, M, 3)
@@ -100,11 +136,8 @@ def refine_window(
         Xh = jnp.einsum("fkij,fkmj->fkmi", H[..., :3, :3], Xw_o) + H[..., None, :3, 3]
         yo = jnp.einsum("fij,fkmj->fkmi", Tc[:, :3, :3], Xh) + Tc[:, None, None, :3, 3]
         r_o = (ob_uv + ob_flow) - camera.project(yo, fx, fy, cx, cy)
-        r2o = jnp.sum(r_o * r_o, -1)
-        w_o = ob_valid & motions_valid[..., None]
-        mag_o = hub(r2o, p.w_object) * w_o
-        unit_o = r_o / jnp.sqrt(jnp.maximum(r2o, 1e-20))[..., None]
-        out_o = (mag_o[..., None] * unit_o).reshape(-1)
+        w_o = ob_valid.astype(r_o.dtype) * motions_valid[..., None].astype(r_o.dtype)
+        out_o = rw(r_o, p.w_object, w_o).reshape(-1)
 
         # smoothness: consecutive motions of the same object agree
         rel = jnp.einsum("fkij,fkjl->fkil", se3.inverse(H[:-1]), H[1:])
@@ -112,7 +145,20 @@ def refine_window(
         w_m = (motions_valid[:-1] & motions_valid[1:]).astype(jnp.float32)
         out_m = (jnp.sqrt(p.w_smooth) * w_m[..., None] * r_m).reshape(-1)
 
-        return jnp.concatenate([out_s, out_o, out_m])
+        # odometry prior: relative poses stay near the online estimates
+        M_odo = jnp.einsum(
+            "fij,fjk,fkl->fil", T[1:], se3.inverse(T[:-1]), se3.inverse(Z_odo)
+        )
+        out_odo = (jnp.sqrt(p.w_odo) * se3.log_se3(M_odo)).reshape(-1)
+
+        # motion prior: object motions stay near their online estimates
+        eta = v[6 * (F - 1):].reshape(F - 1, K, 6)
+        out_mp = (
+            jnp.sqrt(p.w_motion_prior)
+            * motions_valid[..., None].astype(eta.dtype) * eta
+        ).reshape(-1)
+
+        return jnp.concatenate([out_s, out_o, out_m, out_odo, out_mp])
 
     D = 6 * (F - 1) * (1 + K)
 
