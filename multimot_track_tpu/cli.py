@@ -124,9 +124,22 @@ def main(argv=None):
     if out:
         out.mkdir(parents=True, exist_ok=True)
 
-    for i in range(n):
+    # prefetch thread: frame i+1's disk load + wire packing + transfer
+    # enqueue overlap frame i's solve (pipeline/system.run_sequence note)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(1)
+
+    def _prep(i):
         fd = seq.load_frame(i)
-        r = sys_.track_rgbd(fd)
+        return fd, sys_.upload(fd)
+
+    fut = pool.submit(_prep, 0)
+    for i in range(n):
+        fd, handles = fut.result()
+        if i + 1 < n:
+            fut = pool.submit(_prep, i + 1)
+        r = sys_.track_rgbd(fd, uploaded=handles)
         if r is None:
             print(f"frame {i}: initialised")
             continue

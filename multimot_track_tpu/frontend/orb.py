@@ -54,13 +54,84 @@ def _disc_offsets(radius: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=None)
-def brief_pattern(seed: int = 1234, n_bits: int = N_BITS) -> np.ndarray:
-    """(n_bits, 2, 2) int32 sampling-pair offsets, Gaussian(0, patch/5) as in
-    the BRIEF paper, clipped to the 31x31 patch."""
+def _random_pairs(seed: int, n: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     sigma = (2 * PATCH_RADIUS + 1) / 5.0
-    pts = rng.normal(0.0, sigma, size=(n_bits, 2, 2))
+    pts = rng.normal(0.0, sigma, size=(n, 2, 2))
     return np.clip(np.round(pts), -PATCH_RADIUS, PATCH_RADIUS).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def brief_pattern(seed: int = 1234, n_bits: int = N_BITS) -> np.ndarray:
+    """(n_bits, 2, 2) float32 sampling-pair offsets.
+
+    Default: the LEARNED pattern shipped with the package
+    (``brief_pattern_learned.npy``, produced by :func:`learn_brief_pattern`
+    — the rBRIEF greedy variance/decorrelation selection of the ORB paper
+    run on kitti_sample patches; A/B measured against the random-Gaussian
+    pattern in tests/test_real_descriptors.py).  Falls back to the
+    fixed-seed Gaussian of the BRIEF paper when the file is absent or a
+    non-default seed is requested."""
+    if seed == 1234 and n_bits == N_BITS:
+        import pathlib
+
+        f = pathlib.Path(__file__).with_name("brief_pattern_learned.npy")
+        if f.exists():
+            pat = np.load(f)
+            if pat.shape == (n_bits, 2, 2):
+                return pat.astype(np.float32)
+    return _random_pairs(seed, n_bits)
+
+
+def learn_brief_pattern(
+    grays,                       # iterable of (H, W) float images
+    n_bits: int = N_BITS,
+    n_candidates: int = 3072,
+    n_kp_per_image: int = 512,
+    corr_thresh: float = 0.2,
+    seed: int = 7,
+) -> np.ndarray:
+    """rBRIEF pattern learning (ORB paper sec. 4.3, the procedure behind
+    OpenCV's shipped table — re-run here on our own data rather than
+    copying anyone's constants): candidate tests are scored over steered
+    training patches; greedy selection keeps tests with bit-mean closest
+    to 0.5 whose |correlation| with every kept test stays under a
+    threshold, raised until ``n_bits`` survive."""
+    from multimot_track_tpu.frontend import fast
+
+    cand = _random_pairs(seed, n_candidates)
+    bits = []
+    for g in grays:
+        img = jnp.asarray(g, jnp.float32)
+        kp = fast.detect_pyramid(img, n_levels=4, n_total=n_kp_per_image)
+        blur = gaussian_blur(img)
+        ang = compute_orientations(blur, kp.uv)
+        b = brief_descriptors(blur, kp.uv, ang, pattern=cand)  # (N, M) +-1
+        bits.append(np.asarray(b)[np.asarray(kp.valid)])
+    B = np.concatenate(bits, axis=0).astype(np.float32)        # (T, M)
+    T = B.shape[0]
+    mean = B.mean(0)                                           # in [-1, 1]
+    order = np.argsort(np.abs(mean))                           # closest to 0 first
+    Bc = B - mean                                              # centred
+    norm = np.sqrt(np.maximum((Bc * Bc).sum(0), 1e-9))
+
+    for thresh in np.arange(corr_thresh, 1.01, 0.05):
+        picked = []
+        for j in order:
+            if not picked:
+                picked.append(int(j))
+                continue
+            c = np.abs(Bc[:, picked].T @ Bc[:, j]) / (norm[picked] * norm[j])
+            if c.max() < thresh:
+                picked.append(int(j))
+            if len(picked) == n_bits:
+                break
+        if len(picked) == n_bits:
+            return cand[np.asarray(picked)]
+    raise RuntimeError(
+        f"could not select {n_bits} decorrelated tests from "
+        f"{n_candidates} candidates over {T} patches"
+    )
 
 
 def compute_orientations(img_blur: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
@@ -82,11 +153,13 @@ def brief_descriptors(
     uv: jnp.ndarray,
     angle: jnp.ndarray,
     seed: int = 1234,
+    pattern: np.ndarray = None,
 ) -> jnp.ndarray:
-    """Steered BRIEF: (N, 2) keypoints -> (N, 256) int8 descriptors in
-    {-1, +1} sign form."""
+    """Steered BRIEF: (N, 2) keypoints -> (N, n_bits) int8 descriptors in
+    {-1, +1} sign form.  ``pattern`` overrides the default table (used by
+    the rBRIEF learner to evaluate candidate tests)."""
     H, W = img_blur.shape
-    pat = jnp.asarray(brief_pattern(seed))           # (256, 2, 2) float
+    pat = jnp.asarray(brief_pattern(seed) if pattern is None else pattern)
     c, s = jnp.cos(angle), jnp.sin(angle)
     # rotate both sample points of every pair by the keypoint angle
     R = jnp.stack(

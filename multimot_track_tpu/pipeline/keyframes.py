@@ -184,16 +184,28 @@ class Keyframe:
     desc: np.ndarray           # (N, 256) int8 sign-form descriptors
     valid: np.ndarray          # (N,)
     Xw: np.ndarray             # (N, 3) world points (from depth at capture)
-    # map-point lifecycle counters (MapPoint::IncreaseVisible/IncreaseFound,
-    # src/MapPoint.cc; consumed by fuse_and_cull's found-ratio cull)
+    # map-point lifecycle (MapPoint::IncreaseVisible/IncreaseFound + SetBadFlag,
+    # src/MapPoint.cc).  ``valid`` stays the FEATURE mask (descriptors exist;
+    # place recognition and covisibility use every feature, exactly as the
+    # reference's BoW vectors outlive map-point culling); ``live`` is the
+    # map-POINT mask that fusion/culling clears — only 3-D consumers
+    # (local map, reloc PnP, Sim3) are restricted to live points.
     seen: np.ndarray = None    # (N,) int32 — times projected into a new KF
     found: np.ndarray = None   # (N,) int32 — times re-matched there
+    live: np.ndarray = None    # (N,) bool — not fused away / not culled
+    bad: np.ndarray = None     # (N,) bool — culled (geometry untrustworthy);
+    #                            fused points stay geometry-valid for
+    #                            Sim3/reloc, they are merely redundant
 
     def __post_init__(self):
         if self.seen is None:
             self.seen = np.ones(self.valid.shape[0], np.int32)
         if self.found is None:
             self.found = np.ones(self.valid.shape[0], np.int32)
+        if self.live is None:
+            self.live = self.valid.copy()
+        if self.bad is None:
+            self.bad = np.zeros(self.valid.shape[0], bool)
 
 
 class KeyframeStore:
@@ -260,7 +272,7 @@ class KeyframeStore:
         valid = []
         for kf in kfs:
             z = ((kf.Tcw[:3, :3] @ kf.Xw.T).T + kf.Tcw[:3, 3])[:, 2]
-            valid.append(kf.valid & (z > 0) & (z < max_depth))
+            valid.append(kf.valid & kf.live & (z > 0) & (z < max_depth))
         valid = np.concatenate(valid, axis=0)
         arrays = (jnp.asarray(Xw), jnp.asarray(desc), jnp.asarray(valid))
         self._local_cache = (sig, arrays)
@@ -436,7 +448,7 @@ class KeyframeStore:
             jnp.asarray(new.valid), jnp.asarray(new.Xw),
             jnp.asarray(np.stack([kf.Xw for kf in prevs])),
             jnp.asarray(np.stack([kf.desc for kf in prevs])),
-            jnp.asarray(np.stack([kf.valid for kf in prevs])),
+            jnp.asarray(np.stack([kf.valid & kf.live for kf in prevs])),
             fx, fy, cx, cy, width, height, radius, rel3d,
         )
         dup = np.asarray(dup)
@@ -449,23 +461,24 @@ class KeyframeStore:
             kf.found = kf.found + d.astype(np.int32)
             # fusion: newest copy survives, inherits the observation count
             np.add.at(new.found, ix[d], kf.found[d])
-            kf.valid = kf.valid & ~d
+            kf.live = kf.live & ~d
             n_fused += int(d.sum())
             # culling: often visible, rarely re-found (found-ratio < 0.25)
-            bad = (
-                kf.valid
+            cull = (
+                kf.live
                 & (kf.seen >= cull_min_seen)
                 & (kf.found < cull_ratio * kf.seen)
             )
-            kf.valid = kf.valid & ~bad
-            n_culled += int(bad.sum())
+            kf.live = kf.live & ~cull
+            kf.bad = kf.bad | cull
+            n_culled += int(cull.sum())
         if n_fused or n_culled:
             self._version += 1
         return n_fused, n_culled
 
     def n_live_points(self) -> int:
         """Total live map points across the store (lifecycle observability)."""
-        return int(sum(kf.valid.sum() for kf in self.frames))
+        return int(sum((kf.valid & kf.live).sum() for kf in self.frames))
 
     def cull_redundant(self, overlap: float = 0.9) -> int:
         """Drop keyframes ~fully covisible with both neighbours
@@ -567,7 +580,8 @@ class KeyframeStore:
             Xw = jnp.asarray(kf.Xw)[res.idx]
             Xc_kf = (kf.Tcw[:3, :3] @ np.asarray(Xw).T).T + kf.Tcw[:3, 3]
             z = jnp.asarray(Xc_kf[:, 2])
-            ok = res.valid & (z > 0) & (z < max_depth)
+            good = jnp.asarray(~kf.bad)[res.idx]
+            ok = res.valid & good & (z > 0) & (z < max_depth)
             sol = pnp.ransac_pnp(
                 key, Xw, uv, ok, fx, fy, cx, cy,
             )
@@ -605,9 +619,10 @@ class KeyframeStore:
         Xc_cur = (cur.Tcw[:3, :3] @ cur.Xw.T).T + cur.Tcw[:3, 3]
         Xc_kf_full = (kf.Tcw[:3, :3] @ kf.Xw.T).T + kf.Tcw[:3, 3]
         Xc_kf = Xc_kf_full[np.asarray(res.idx)]
+        good = jnp.asarray(~kf.bad)[res.idx]
         s3 = sim3.ransac_sim3(
             key, jnp.asarray(Xc_cur), jnp.asarray(Xc_kf.astype(np.float32)),
-            res.valid, fx, fy, cx, cy, fix_scale=True,
+            res.valid & good, fx, fy, cx, cy, fix_scale=True,
         )
         n = int(s3.n_inliers)
         if n < 20:

@@ -28,18 +28,22 @@ from multimot_track_tpu.pipeline import tracker
 from multimot_track_tpu.io.kitti import FrameData
 
 
-@jax.jit
-def _describe_frame_device(gray_u8, depth_u16, bf):
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def _describe_frame_device(gray_u8, depth_w, bf, width):
     """Keyframe-grade frame description as one fused program: FAST
     pyramid + ORB descriptors + disparity->depth + per-keypoint depth.
     Returns (uv, desc, valid, z)."""
     from multimot_track_tpu.frontend import fast, orb
     from multimot_track_tpu.geometry import camera as cam_g
+    from multimot_track_tpu.ops import wire
 
     g = gray_u8.astype(jnp.float32)
     kp = fast.detect_pyramid(g, n_levels=4, n_total=1024)
     desc, _ = orb.describe(g, kp.uv)
-    depth = cam_g.disparity_png_to_depth(depth_u16.astype(jnp.float32), bf)
+    depth = cam_g.disparity_png_to_depth(wire._decode_depth(depth_w, width), bf)
     z, _ = cam_g.nearest_sample(depth, kp.uv)
     valid = kp.valid & (z > 0) & (z < 60.0)
     return kp.uv, desc, valid, z
@@ -233,25 +237,46 @@ class MultiMotSystem:
 
     @staticmethod
     def _compact_images(fd: FrameData):
-        """Host-side dtype compaction for the tunnel-bound upload."""
+        """Host-side wire-v2 packing for the tunnel-bound upload (ops/wire:
+        gray8 + 12-bit disparity + half-res 12-bit flow + 4-bit labels,
+        3.7 -> 1.75 MB/frame — the live loop's dominant serving cost)."""
+        from multimot_track_tpu.ops import wire
+
         gray = np.clip(np.nan_to_num(np.round(fd.gray)), 0, 255).astype(np.uint8)
-        depth = np.clip(np.nan_to_num(fd.depth_raw), 0, 65535).astype(np.uint16)
+        depth = wire.pack_depth12(
+            np.clip(np.nan_to_num(fd.depth_raw), 0, 65535).astype(np.uint16)
+        )
         # NaN/inf flow (corrupt .flo) maps to 0 = "no correspondence"
-        flow = np.clip(np.nan_to_num(fd.flow * 128.0), -32767, 32767).astype(np.int16)
-        sem = np.clip(fd.sem_mask, 0, 255).astype(np.uint8)
+        flow = wire.pack_flow12_half(fd.flow)
+        sem = wire.pack_sem4(np.clip(fd.sem_mask, 0, 15))
         return gray, depth, flow, sem
 
-    def track_rgbd(self, fd: FrameData) -> Optional[tracker.PairResult]:
-        """Feed one frame; returns the PairResult once a pair exists."""
+    def upload(self, fd: FrameData):
+        """Pack + enqueue the host->device transfers for one frame.
+
+        Call from a prefetch thread while the previous frame is being
+        tracked: the transfers then overlap the current frame's blocked
+        fetch (``run_sequence`` does this; the reference's driver loads
+        the next frame's files the same overlapped way it could not —
+        its loop is fully serial, Examples/RGB-D/rgbd_tum.cc:115-189)."""
+        gray, depth, flow, sem = self._compact_images(fd)
+        return (
+            jnp.asarray(gray), jnp.asarray(depth),
+            jnp.asarray(flow), jnp.asarray(sem),
+        )
+
+    def track_rgbd(self, fd: FrameData, uploaded=None) -> Optional[tracker.PairResult]:
+        """Feed one frame; returns the PairResult once a pair exists.
+
+        ``uploaded`` — optional device handles from :meth:`upload`."""
         t0 = time.perf_counter()
         cfg = self.cfg
         K = cfg.padding.k_obj_max
         gt = F.make_gt_table(fd.pose_gt, fd.obj_ids_gt, fd.obj_poses_gt, K)
-        gray, depth, flow, sem = self._compact_images(fd)
         # device handles (uploaded once; full_step and the window refiner
         # share the buffers — no duplicate transfers)
         gray, depth, flow, sem = (
-            jnp.asarray(gray), jnp.asarray(depth), jnp.asarray(flow), jnp.asarray(sem)
+            uploaded if uploaded is not None else self.upload(fd)
         )
         self._dev_images = (self._frame_idx, gray, depth)
         # discovery needs a velocity estimate (frame >= 2): with T_rel = I
@@ -398,13 +423,19 @@ class MultiMotSystem:
         if self._dev_images is not None and self._dev_images[0] == self._frame_idx:
             gray, depth = self._dev_images[1], self._dev_images[2]
         else:
+            from multimot_track_tpu.ops import wire
+
             gray = jnp.asarray(
                 np.clip(np.nan_to_num(np.round(fd.gray)), 0, 255).astype(np.uint8)
             )
             depth = jnp.asarray(
-                np.clip(np.nan_to_num(fd.depth_raw), 0, 65535).astype(np.uint16)
+                wire.pack_depth12(
+                    np.clip(np.nan_to_num(fd.depth_raw), 0, 65535).astype(np.uint16)
+                )
             )
-        return _describe_frame_device(gray, depth, self.cfg.camera.bf)
+        return _describe_frame_device(
+            gray, depth, self.cfg.camera.bf, self.cfg.camera.width
+        )
 
     def _frame_features(self, fd: FrameData):
         """Per-frame cache around ``_describe_frame``: local-map tracking,
@@ -490,17 +521,18 @@ class MultiMotSystem:
         with the constant-velocity ego prediction, and the labels are
         rasterized at their flow-shifted (current-frame) positions."""
         from multimot_track_tpu.geometry import camera as cam_g
+        from multimot_track_tpu.ops import wire
         from multimot_track_tpu.pipeline import motion_seg
 
         cam = self.cfg.camera
         prev = self._win[-1]
         depth0 = cam_g.disparity_png_to_depth(
-            prev["depth"].astype(jnp.float32), cam.bf
+            wire._decode_depth(prev["depth"], cam.width), cam.bf
         )
         depth1 = cam_g.disparity_png_to_depth(
-            depth_u16_cur.astype(jnp.float32), cam.bf
+            wire._decode_depth(depth_u16_cur, cam.width), cam.bf
         )
-        flow0 = prev["flow"].astype(jnp.float32) * (1.0 / 128.0)
+        flow0 = wire._decode_flow(prev["flow"], cam.height, cam.width)
         disc = motion_seg.discover_objects(
             key, depth0, depth1, flow0, jnp.asarray(self._velocity),
             cam.fx, cam.fy, cam.cx, cam.cy,
@@ -532,7 +564,9 @@ class MultiMotSystem:
                 if sizes[c] < 640:
                     continue
                 mask[comp == c + 1] = new_id
-        return jnp.asarray(np.clip(mask, 0, 255).astype(np.uint8))
+        # wire-packed like every other mask entering the pipeline (the
+        # window buffer stacks sem tensors, so formats must agree)
+        return jnp.asarray(wire.pack_sem4(np.clip(mask, 0, 15)))
 
     def _push_window(self, gray, depth, flow, sem, traj_row: int):
         """Keep the trailing window's device tensors for the refiner (and
@@ -966,11 +1000,27 @@ class MultiMotSystem:
 
 def run_sequence(seq, cfg: PipelineConfig = DEFAULT_CONFIG, n_frames: Optional[int] = None,
                  verbose: bool = False):
-    """Drive a KittiSequence end-to-end (reference rgbd_mmt main loop)."""
+    """Drive a KittiSequence end-to-end (reference rgbd_mmt main loop).
+
+    Frame i+1 is loaded, packed and its transfers enqueued on a prefetch
+    thread while frame i is being tracked — the wire upload (the live
+    loop's dominant serving cost through the tunnel) overlaps the solve."""
+    from concurrent.futures import ThreadPoolExecutor
+
     sys_ = MultiMotSystem(cfg)
     n = len(seq) if n_frames is None else min(n_frames, len(seq))
+    pool = ThreadPoolExecutor(1)
+
+    def prep(i):
+        fd = seq.load_frame(i)
+        return fd, sys_.upload(fd)
+
+    fut = pool.submit(prep, 0)
     for i in range(n):
-        r = sys_.track_rgbd(seq.load_frame(i))
+        fd, handles = fut.result()
+        if i + 1 < n:
+            fut = pool.submit(prep, i + 1)
+        r = sys_.track_rgbd(fd, uploaded=handles)
         if verbose and r is not None:
             print(
                 f"frame {i}: cam RPE t={float(r.cam_t_rpe_rel)*100:.4f}% "

@@ -529,12 +529,14 @@ def unpack_pytree(flat, like):
 def first_step(gray_u8, depth_raw_u16, flow_i16, sem_u8, gt, cfg: PipelineConfig,
                noise_key=None):
     """Frame-0 frontend only (StereoInitialization role)."""
+    from multimot_track_tpu.ops import wire
     from multimot_track_tpu.pipeline import frames as F
 
+    cam = cfg.camera
     gray = gray_u8.astype(jnp.float32)
-    depth_raw = depth_raw_u16.astype(jnp.float32)
-    flow = flow_i16.astype(jnp.float32) * (1.0 / 128.0)
-    sem = sem_u8.astype(jnp.int32)
+    depth_raw = wire._decode_depth(depth_raw_u16, cam.width)
+    flow = wire._decode_flow(flow_i16, cam.height, cam.width)
+    sem = wire._decode_sem(sem_u8, cam.width)
     return F.build_frame_observation(gray, depth_raw, flow, sem, gt, cfg,
                                      noise_key=noise_key)
 
@@ -553,18 +555,20 @@ def full_step(
 ):
     """One fused device program per frame: frontend + pair build + track.
 
-    Inputs arrive in compact dtypes (uint8/uint16/int16) and are expanded
-    on device — the host<->device link (a tunnel on this setup) moves ~3x
-    fewer bytes than raw float32 images, and the whole frame costs exactly
-    one dispatch instead of three plus eager ops.
+    Inputs arrive in wire form (ops/wire: uint8/uint16/int16 legacy or the
+    v2 packed codec) and are expanded on device — the host<->device link
+    (a tunnel on this setup) is the live serving bottleneck, and the whole
+    frame costs exactly one dispatch instead of three plus eager ops.
     Returns (PairResult, next TrackContext, current FrameObservation).
     """
+    from multimot_track_tpu.ops import wire
     from multimot_track_tpu.pipeline import frames as F
 
+    cam = cfg.camera
     gray = gray_u8.astype(jnp.float32)
-    depth_raw = depth_raw_u16.astype(jnp.float32)
-    flow = flow_i16.astype(jnp.float32) * (1.0 / 128.0)
-    sem = sem_u8.astype(jnp.int32)
+    depth_raw = wire._decode_depth(depth_raw_u16, cam.width)
+    flow = wire._decode_flow(flow_i16, cam.height, cam.width)
+    sem = wire._decode_sem(sem_u8, cam.width)
     if cfg.solver.depth_noise or cfg.solver.flow_outliers:
         # static branch: the default PRNG stream is untouched when off
         k_noise, key = jax.random.split(key)

@@ -55,11 +55,13 @@ def refine_joint_window(
     Wn = poses_rel.shape[0]
     Himg, Wimg = grays_u8.shape[-2:]
 
-    depths = jax.vmap(
-        lambda d: camera.disparity_png_to_depth(d.astype(jnp.float32), cam.bf)
-    )(depths_u16)
-    flows = flows_i16.astype(jnp.float32) * (1.0 / 128.0)
-    sems = sems_u8.astype(jnp.int32)
+    from multimot_track_tpu.ops import wire
+
+    depths = camera.disparity_png_to_depth(
+        wire._decode_depth(depths_u16, Wimg), cam.bf
+    )
+    flows = wire._decode_flow(flows_i16, Himg, Wimg)
+    sems = wire._decode_sem(sems_u8, Wimg)
 
     stride = be.joint_static_stride
     Nst = be.joint_static_max
@@ -147,14 +149,16 @@ def refine_trailing_window(
     """Returns (refined poses (W, 4, 4), n_live_tracks)."""
     from multimot_track_tpu.ops import photometric
 
-    be = cfg.backend
+    from multimot_track_tpu.ops import wire
+
+    be, cam = cfg.backend, cfg.camera
     grays = grays_u8.astype(jnp.float32)
     gray0 = grays[0]
     depth0 = camera.disparity_png_to_depth(
-        depth0_u16.astype(jnp.float32), cfg.camera.bf
+        wire._decode_depth(depth0_u16, cam.width), cam.bf
     )
-    flows = flows_i16.astype(jnp.float32) * (1.0 / 128.0)
-    sems = sems_u8.astype(jnp.int32)
+    flows = wire._decode_flow(flows_i16, cam.height, cam.width)
+    sems = wire._decode_sem(sems_u8, cam.width)
 
     kp = fast.detect_pyramid(gray0, n_levels=4, n_total=be.n_window_tracks)
     z0, _ = camera.nearest_sample(depth0, kp.uv)

@@ -29,7 +29,8 @@ TEST_CFG = dataclasses.replace(
     # assertions measure — with local-map tracking on, the fixture's drift
     # is already so small the loop correction has nothing left to win)
     backend=dataclasses.replace(
-        DEFAULT_CONFIG.backend, window_refine=False, track_local_map=False
+        DEFAULT_CONFIG.backend, window_refine=False, track_local_map=False,
+        joint_window_refine=False,
     ),
 )
 

@@ -55,8 +55,10 @@ def test_fuse_merges_duplicates():
     assert nf > 0.8 * len(Xw)
     assert store.n_live_points() == before - nf
     # one live copy of each fused landmark remains (the newest)
-    assert store.frames[-1].valid.sum() == len(Xw)
-    assert store.frames[0].valid.sum() == len(Xw) - nf
+    assert (store.frames[-1].valid & store.frames[-1].live).sum() == len(Xw)
+    assert (store.frames[0].valid & store.frames[0].live).sum() == len(Xw) - nf
+    # descriptor mask untouched: place recognition still sees every feature
+    assert store.frames[0].valid.sum() == len(Xw)
     # the survivor inherited the observation credit
     assert store.frames[-1].found.max() >= 2
 
@@ -83,7 +85,7 @@ def test_cull_drops_never_refound_points():
     # the bogus points were repeatedly seen, never re-found -> culled
     # (a handful leave the moving camera's view for one frame and need one
     # more visit to cross the strict 0.25 ratio; 26/32 cull here)
-    assert kf0.valid[bogus].sum() <= 8, kf0.valid[bogus].sum()
+    assert kf0.live[bogus].sum() <= 8, kf0.live[bogus].sum()
     assert culled_total >= 24, culled_total
 
 
