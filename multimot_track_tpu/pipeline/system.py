@@ -46,6 +46,9 @@ def _describe_frame_device(gray_u8, depth_w, bf, width):
     depth = cam_g.disparity_png_to_depth(wire._decode_depth(depth_w, width), bf)
     z, _ = cam_g.nearest_sample(depth, kp.uv)
     valid = kp.valid & (z > 0) & (z < 60.0)
+    # zero-disparity pixels carry +inf depth; keep them invalid AND finite
+    # so downstream pose@point matmuls never manufacture NaN rows
+    z = jnp.where(jnp.isfinite(z), z, 0.0)
     return kp.uv, desc, valid, z
 
 

@@ -46,9 +46,13 @@ def test_joint_window_live(kitti_sample_dir):
     assert s["n_obj_estimates"] == 4
     assert s["obj_t_rpe_refined_mean"] is not None
     assert np.isfinite(s["obj_t_rpe_refined_mean"])
-    # joint BA improves the refined object estimate (measured 0.0665
-    # without it -> 0.0539 with it; gate placed between with seed margin)
-    assert s["obj_t_rpe_refined_mean"] < 0.065, s["obj_t_rpe_refined_mean"]
+    # joint BA improves the refined object estimate.  Measured with this
+    # config on the wire-v2 live path: 0.0707 without the joint solve ->
+    # 0.0657 with it (the improvement was 0.0665 -> 0.0539 on unquantised
+    # inputs — the half-res wire flow feeds the window's re-derived object
+    # observations, so codec thrift trades a little backend power).  Gate
+    # between the two measurements with seed margin.
+    assert s["obj_t_rpe_refined_mean"] < 0.069, s["obj_t_rpe_refined_mean"]
     # trajectory still sane after committed window rewrites
     assert s["ego_ate_rmse_m"] < 0.15
 
