@@ -240,6 +240,12 @@ class BackendConfig:
     # below; see pipeline/system._track_local_map for the measurement
     # that set the default.
     track_local_map: bool = True
+    # Fuse TrackLocalMap + trailing-window BA into ONE device program
+    # chained onto full_step's un-fetched output (pipeline/live_refine):
+    # the live loop then blocks on a single device->host transfer per
+    # frame instead of up to four.  Off = dispatch each refinement
+    # separately (the reference-shaped control flow; same math).
+    fused_refine: bool = True
     local_map_kfs: int = 3            # newest keyframes forming the local map
     local_map_radius_px: float = 12.0 # projection search radius
     local_map_thresh_px: float = 3.0  # inlier gate for the GN rounds

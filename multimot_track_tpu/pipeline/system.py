@@ -135,6 +135,10 @@ class MultiMotSystem:
         self.max_lost_frames = max_lost_frames
         self._lost_streak = 0
         self._velocity = np.eye(4, dtype=np.float32)  # mVelocity analog
+        # host mirror of ctx.Tcw_last (invariant: equals the final
+        # result.Tcw_cur of the previous frame) — avoids a per-frame
+        # device fetch of the context pose in the live loop
+        self._Tcw_last_h = np.eye(4, dtype=np.float32)
         self.n_joint_refines = 0   # joint ego+object window BA invocations
         self._result_spec = None
         self._feat_cache = None   # (frame_idx, features) — one extraction/frame
@@ -237,6 +241,11 @@ class MultiMotSystem:
             for w in d.get("win", [])
         ]
         self._feat_cache = None
+        self._Tcw_last_h = (
+            np.asarray(self._ctx.Tcw_last, np.float32)
+            if self._ctx is not None
+            else np.eye(4, dtype=np.float32)
+        )
 
     @staticmethod
     def _compact_images(fd: FrameData):
@@ -317,13 +326,93 @@ class MultiMotSystem:
         packed, new_ctx, obs = tracker.full_step(
             step_key, self._last_obs, gray, depth, flow, sem, gt, self._ctx, cfg
         )
-        # exactly one device->host transfer for the whole frame result
         if self._result_spec is None:
             self._result_spec = tracker.light_result_spec(cfg)
-        result = tracker.unpack_pytree(packed, self._result_spec)
+
+        # --- fused refinement dispatch (pipeline/live_refine): chain
+        # TrackLocalMap + trailing-window BA onto the NOT-yet-fetched
+        # full_step output so the whole frame blocks on one transfer ---
+        be = cfg.backend
+        fused = be.fused_refine
+        use_lm = bool(
+            be.track_local_map
+            and self.keyframes is not None
+            and self.keyframes.frames
+        )
+        use_win = False
+        win_after = None
+        refine_handle = None
+        Twc0_h = None
+        if fused:
+            if be.window_refine or be.joint_window_refine or self.discover_objects:
+                win_after = (
+                    self._win
+                    + [{"gray": gray, "depth": depth, "flow": flow, "sem": sem,
+                        "row": len(self.map.camera_poses)}]
+                )[-be.window_size:]
+            use_win = bool(
+                be.window_refine
+                and win_after is not None
+                and len(win_after) == be.window_size
+            )
+            if use_lm or use_win:
+                from multimot_track_tpu.pipeline import live_refine
+
+                zf = jnp.zeros((), jnp.float32)
+                if use_lm:
+                    uv_c, desc_c, valid_c, z_c = self._frame_features(fd)
+                    Xw_m, desc_m, valid_m = self.keyframes.local_map(
+                        n_kf=be.local_map_kfs
+                    )
+                else:
+                    uv_c = desc_c = valid_c = z_c = zf
+                    Xw_m = desc_m = valid_m = zf
+                if use_win:
+                    rows_prev = [w["row"] for w in win_after[:-1]]
+                    Twc0_h = np.asarray(
+                        self.map.camera_poses[rows_prev[0]], np.float32
+                    )
+                    Tcw0_h = np.linalg.inv(Twc0_h).astype(np.float32)
+                    poses_rel_prev = np.stack(
+                        [
+                            np.linalg.inv(self.map.camera_poses[r]).astype(
+                                np.float32
+                            ) @ Twc0_h
+                            for r in rows_prev
+                        ]
+                    )
+                    grays_w = jnp.stack([w["gray"] for w in win_after])
+                    flows_w = jnp.stack([w["flow"] for w in win_after[:-1]])
+                    sems_w = jnp.stack([w["sem"] for w in win_after])
+                    depth0_w = win_after[0]["depth"]
+                else:
+                    poses_rel_prev = np.zeros((0, 4, 4), np.float32)
+                    Twc0_h = np.eye(4, dtype=np.float32)
+                    grays_w = flows_w = sems_w = depth0_w = zf
+                refine_handle = live_refine.live_refine_step(
+                    packed, uv_c, desc_c, valid_c, z_c,
+                    Xw_m, desc_m, valid_m,
+                    jnp.asarray(poses_rel_prev), jnp.asarray(Twc0_h),
+                    grays_w, depth0_w, flows_w, sems_w,
+                    cfg, use_lm, use_win, self.min_inliers,
+                )
+
+        # exactly one device->host transfer for the whole frame result
+        if refine_handle is not None:
+            from multimot_track_tpu.pipeline import live_refine
+
+            packed_h, T1, accept_lm, _n_lm, poses_out, n_live = (
+                live_refine.split_refined(
+                    np.asarray(refine_handle), cfg,
+                    window=len(win_after) if use_win else 0,
+                )
+            )
+            result = tracker.unpack_pytree(packed_h, self._result_spec)
+        else:
+            result = tracker.unpack_pytree(packed, self._result_spec)
 
         # --- tracking-state machine + constant-velocity fallback ---
-        Tcw_last = np.asarray(self._ctx.Tcw_last)
+        Tcw_last = self._Tcw_last_h
         if int(result.n_static_inliers) < self.min_inliers:
             self.state = self.STATE_LOST
             self._lost_streak += 1
@@ -350,36 +439,79 @@ class MultiMotSystem:
         # "online" trajectory sample before any map-based refinement
         Tcw_online = np.asarray(result.Tcw_cur)
 
-        # TrackLocalMap rung (src/Tracking.cc:3189): let the accumulated
-        # keyframe map refine the per-pair flow pose before it is recorded
-        if (
-            cfg.backend.track_local_map
-            and self.state == self.STATE_OK
-            and self.keyframes is not None
-            and self.keyframes.frames
-        ):
-            T_lm = self._track_local_map(fd, Tcw_online)
-            if T_lm is not None:
-                result = result._replace(Tcw_cur=jnp.asarray(T_lm))
-                self._velocity = (T_lm @ np.linalg.inv(Tcw_last)).astype(np.float32)
+        if fused:
+            # apply the device-gated refinements fetched with the result
+            # (same math/gates as the unfused branch below, but the device
+            # already evaluated the acceptance tests — the host only
+            # honours them, and discards everything on a LOST frame)
+            # gate on the FLOW solve being OK (not just the post-ladder
+            # state): on a reloc-rescued frame the device refinements were
+            # speculatively computed from the diverged flow pose and must
+            # be discarded wholesale
+            flow_ok = int(result.n_static_inliers) >= self.min_inliers
+            if flow_ok and use_lm and accept_lm:
+                result = result._replace(Tcw_cur=T1)
+                self._velocity = (T1 @ np.linalg.inv(Tcw_last)).astype(
+                    np.float32
+                )
                 new_ctx = new_ctx._replace(
-                    Tcw_last=jnp.asarray(T_lm),
+                    Tcw_last=jnp.asarray(T1),
                     T_velocity=jnp.asarray(self._velocity),
                 )
-
-        self._record(result, fd, Tcw_online=Tcw_online)
-        self._push_window(gray, depth, flow, sem, len(self.map.camera_poses) - 1)
-        if cfg.backend.window_refine and self.state == self.STATE_OK:
-            refined_last = self._refine_window()
-            if refined_last is not None:
-                result = result._replace(Tcw_cur=jnp.asarray(refined_last))
+            self._record(result, fd, Tcw_online=Tcw_online)
+            self._push_window(
+                gray, depth, flow, sem, len(self.map.camera_poses) - 1
+            )
+            if (
+                flow_ok
+                and use_win
+                and n_live >= be.min_window_tracks
+                and np.isfinite(poses_out).all()
+            ):
+                Tcw0_abs = np.linalg.inv(Twc0_h).astype(np.float32)
+                rows = [w["row"] for w in win_after]
+                for f, r in enumerate(rows):
+                    Tcw_new = (poses_out[f] @ Tcw0_abs).astype(np.float32)
+                    self.map.camera_poses[r] = np.linalg.inv(Tcw_new).astype(
+                        np.float32
+                    )
+                refined_last = (poses_out[-1] @ Tcw0_abs).astype(np.float32)
+                result = result._replace(Tcw_cur=refined_last)
                 new_ctx = new_ctx._replace(Tcw_last=jnp.asarray(refined_last))
                 if len(self.map.camera_poses) >= 2:
                     # Tcw_cur @ Twc_prev (camera_poses stores Twc)
                     self._velocity = (
                         refined_last @ self.map.camera_poses[-2]
                     ).astype(np.float32)
-                    new_ctx = new_ctx._replace(T_velocity=jnp.asarray(self._velocity))
+                    new_ctx = new_ctx._replace(
+                        T_velocity=jnp.asarray(self._velocity)
+                    )
+        else:
+            # TrackLocalMap rung (src/Tracking.cc:3189): let the accumulated
+            # keyframe map refine the per-pair flow pose before it is recorded
+            if use_lm and self.state == self.STATE_OK:
+                T_lm = self._track_local_map(fd, Tcw_online)
+                if T_lm is not None:
+                    result = result._replace(Tcw_cur=jnp.asarray(T_lm))
+                    self._velocity = (T_lm @ np.linalg.inv(Tcw_last)).astype(np.float32)
+                    new_ctx = new_ctx._replace(
+                        Tcw_last=jnp.asarray(T_lm),
+                        T_velocity=jnp.asarray(self._velocity),
+                    )
+
+            self._record(result, fd, Tcw_online=Tcw_online)
+            self._push_window(gray, depth, flow, sem, len(self.map.camera_poses) - 1)
+            if cfg.backend.window_refine and self.state == self.STATE_OK:
+                refined_last = self._refine_window()
+                if refined_last is not None:
+                    result = result._replace(Tcw_cur=jnp.asarray(refined_last))
+                    new_ctx = new_ctx._replace(Tcw_last=jnp.asarray(refined_last))
+                    if len(self.map.camera_poses) >= 2:
+                        # Tcw_cur @ Twc_prev (camera_poses stores Twc)
+                        self._velocity = (
+                            refined_last @ self.map.camera_poses[-2]
+                        ).astype(np.float32)
+                        new_ctx = new_ctx._replace(T_velocity=jnp.asarray(self._velocity))
         if self.enable_keyframes and self.state == self.STATE_OK:
             # after _record so the keyframe's trajectory row exists; a
             # successful loop closure rewrites the recorded trajectory
@@ -413,6 +545,7 @@ class MultiMotSystem:
         else:
             self._ctx = new_ctx
         self._last_obs = obs
+        self._Tcw_last_h = np.asarray(result.Tcw_cur, np.float32)
         self._frame_idx += 1
         self.map.frame_times.append(time.perf_counter() - t0)
         return result
