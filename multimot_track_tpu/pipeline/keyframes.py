@@ -129,7 +129,9 @@ def _fuse_scan(
     view, matches a new descriptor within ``radius`` px AND whose stored
     3-D position agrees to ``rel3d * z`` is the same landmark.
 
-    Returns (dup (L, N) bool, in_view (L, N) bool, new_idx (L, N) int32)."""
+    Returns ONE packed (3, L, N) int32 array — [dup, in_view, new_idx] —
+    so the caller fetches a single buffer (each device->host transfer is
+    a full round trip through the serving link)."""
 
     def one(Xw_l, desc_l, valid_l):
         y = se3.transform(Tcw_new, Xw_l)
@@ -147,7 +149,10 @@ def _fuse_scan(
         dup = res.valid & (d3 < rel3d * jnp.maximum(y[..., 2], 0.5))
         return dup, in_view, res.idx
 
-    return jax.vmap(one)(Xw_prev, desc_prev, valid_prev)
+    dup, in_view, idx = jax.vmap(one)(Xw_prev, desc_prev, valid_prev)
+    return jnp.stack(
+        [dup.astype(jnp.int32), in_view.astype(jnp.int32), idx]
+    )
 
 
 @jax.jit
@@ -218,6 +223,11 @@ class KeyframeStore:
         self.min_gap = min_gap
         self.frames: List[Keyframe] = []
         self._version = 0            # bumped on any mutation; keys the caches
+        # bumped only when frame MEMBERSHIP changes (add/evict/cull):
+        # descriptor stacks depend on membership alone, and re-uploading
+        # megabytes of descriptors because a lifecycle bit flipped was the
+        # dominant hidden keyframe-cadence serving cost
+        self._struct_version = 0
         self._local_cache = None     # local_map arrays, keyed on version
         self._stack_cache = None     # descriptor stack, keyed on version
         # BoW-scale retrieval (ops/bow, the DBoW2/KeyFrameDatabase role):
@@ -228,6 +238,27 @@ class KeyframeStore:
         self.bow_shortlist = bow_shortlist
         self._voc = None             # trained lazily at the threshold
         self._sigs: dict = {}        # id(kf) -> (V,) signature
+        # host-array -> device-array cache: keyframe payloads (desc, Xw,
+        # valid) upload ONCE and are stacked/concatenated on device.  The
+        # host array is retained alongside the device copy so its id()
+        # cannot be recycled while the cache entry lives.
+        self._dev_arrays: dict = {}
+
+    def _dev(self, arr: np.ndarray) -> jnp.ndarray:
+        e = self._dev_arrays.get(id(arr))
+        if e is not None and e[0] is arr:
+            return e[1]
+        dev = jnp.asarray(arr)
+        self._dev_arrays[id(arr)] = (arr, dev)
+        if len(self._dev_arrays) > 4 * max(len(self.frames), 8) + 16:
+            keep = set()
+            for kf in self.frames:
+                keep.update((id(kf.desc), id(kf.Xw), id(kf.valid)))
+            self._dev_arrays = {
+                k: v for k, v in self._dev_arrays.items() if k in keep
+            }
+            self._dev_arrays[id(arr)] = (arr, dev)
+        return dev
 
     def maybe_add(self, kf: Keyframe) -> bool:
         if self.frames and kf.index - self.frames[-1].index < self.min_gap:
@@ -236,6 +267,7 @@ class KeyframeStore:
         if len(self.frames) > self.capacity:
             self.frames.pop(0)
         self._version += 1
+        self._struct_version += 1
         return True
 
     def correct_poses(self, new_Tcw: List[np.ndarray]):
@@ -267,14 +299,18 @@ class KeyframeStore:
         if self._local_cache is not None and self._local_cache[0] == sig:
             return self._local_cache[1]
         kfs = self.frames[-n_kf:]
-        Xw = np.concatenate([kf.Xw for kf in kfs], axis=0)
-        desc = np.concatenate([kf.desc for kf in kfs], axis=0)
+        # per-keyframe payloads stay device-cached (_dev); only the small
+        # combined mask re-uploads when a lifecycle bit flips — the
+        # megabyte-scale Xw/desc re-upload per keyframe was a dominant
+        # keyframe-cadence serving cost through the link
+        Xw = jnp.concatenate([self._dev(kf.Xw) for kf in kfs], axis=0)
+        desc = jnp.concatenate([self._dev(kf.desc) for kf in kfs], axis=0)
         valid = []
         for kf in kfs:
             z = ((kf.Tcw[:3, :3] @ kf.Xw.T).T + kf.Tcw[:3, 3])[:, 2]
             valid.append(kf.valid & kf.live & (z > 0) & (z < max_depth))
-        valid = np.concatenate(valid, axis=0)
-        arrays = (jnp.asarray(Xw), jnp.asarray(desc), jnp.asarray(valid))
+        valid = jnp.asarray(np.concatenate(valid, axis=0))
+        arrays = (Xw, desc, valid)
         self._local_cache = (sig, arrays)
         return arrays
 
@@ -307,19 +343,26 @@ class KeyframeStore:
         of distinct compiled shapes) with zero-valid rows; cached until the
         store mutates.  Requires homogeneous keypoint counts (the system
         always extracts a fixed n_total)."""
-        sig = self._version
+        sig = self._struct_version
         if self._stack_cache is not None and self._stack_cache[0] == sig:
             return self._stack_cache[1]
         K = len(self.frames)
         if K == 0 or len({kf.desc.shape[0] for kf in self.frames}) != 1:
             return None
         K_pad = 1 << (K - 1).bit_length()
-        desc = np.zeros((K_pad,) + self.frames[0].desc.shape, self.frames[0].desc.dtype)
-        valid = np.zeros((K_pad, self.frames[0].valid.shape[0]), bool)
-        for k, kf in enumerate(self.frames):
-            desc[k] = kf.desc
-            valid[k] = kf.valid
-        arrays = (jnp.asarray(desc), jnp.asarray(valid))
+        # stack device-cached per-keyframe descriptors (each uploads once,
+        # at capture); padding rows are device zeros — no host re-upload
+        pad_d = jnp.zeros(self.frames[0].desc.shape, self.frames[0].desc.dtype)
+        pad_v = jnp.zeros(self.frames[0].valid.shape, bool)
+        desc = jnp.stack(
+            [self._dev(kf.desc) for kf in self.frames]
+            + [pad_d] * (K_pad - K)
+        )
+        valid = jnp.stack(
+            [self._dev(kf.valid) for kf in self.frames]
+            + [pad_v] * (K_pad - K)
+        )
+        arrays = (desc, valid)
         self._stack_cache = (sig, arrays)
         return arrays
 
@@ -443,17 +486,17 @@ class KeyframeStore:
         prevs = self.frames[max(0, len(self.frames) - 1 - n_prev):-1]
         if len({kf.desc.shape[0] for kf in prevs} | {new.desc.shape[0]}) != 1:
             return 0, 0    # heterogeneous store (test-built): skip
-        dup, in_view, idx = _fuse_scan(
-            jnp.asarray(new.Tcw), jnp.asarray(new.desc), jnp.asarray(new.uv),
-            jnp.asarray(new.valid), jnp.asarray(new.Xw),
-            jnp.asarray(np.stack([kf.Xw for kf in prevs])),
-            jnp.asarray(np.stack([kf.desc for kf in prevs])),
+        packed = np.asarray(_fuse_scan(
+            jnp.asarray(new.Tcw), self._dev(new.desc), jnp.asarray(new.uv),
+            self._dev(new.valid), self._dev(new.Xw),
+            jnp.stack([self._dev(kf.Xw) for kf in prevs]),
+            jnp.stack([self._dev(kf.desc) for kf in prevs]),
             jnp.asarray(np.stack([kf.valid & kf.live for kf in prevs])),
             fx, fy, cx, cy, width, height, radius, rel3d,
-        )
-        dup = np.asarray(dup)
-        in_view = np.asarray(in_view)
-        idx = np.asarray(idx)
+        ))
+        dup = packed[0].astype(bool)
+        in_view = packed[1].astype(bool)
+        idx = packed[2]
         n_fused = n_culled = 0
         for l, kf in enumerate(prevs):
             d, v, ix = dup[l], in_view[l], idx[l]
@@ -511,6 +554,7 @@ class KeyframeStore:
             self.frames.pop(k)
         if drop:
             self._version += 1
+            self._struct_version += 1
         return len(drop)
 
     def triangulate_between(

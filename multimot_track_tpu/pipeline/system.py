@@ -52,6 +52,23 @@ def _describe_frame_device(gray_u8, depth_w, bf, width):
     return kp.uv, desc, valid, z
 
 
+@jax.jit
+def _keyframe_payload(uv, desc, valid, z, Twc, fx, fy, cx, cy):
+    """Keyframe-capture fetch packing: world points computed on device,
+    descriptors bit-packed (256 int8 signs -> 32 bytes), everything else
+    in one f32 buffer — two compact transfers instead of four full-size
+    ones (the link round trips dominate keyframe-cadence frames)."""
+    from multimot_track_tpu.geometry import camera as cam_g
+
+    Xc = cam_g.backproject(uv, z, fx, fy, cx, cy)
+    Xw = (Twc[:3, :3] @ Xc.T).T + Twc[:3, 3]
+    bits = jnp.packbits(desc > 0, axis=-1)
+    f32 = jnp.concatenate(
+        [uv.reshape(-1), Xw.reshape(-1), valid.astype(jnp.float32)]
+    ).astype(jnp.float32)
+    return bits, f32
+
+
 @dataclasses.dataclass
 class ObjectRecord:
     frame: int
@@ -236,6 +253,7 @@ class MultiMotSystem:
         if d.get("keyframes") is not None and self.keyframes is not None:
             self.keyframes.frames = d["keyframes"]
             self.keyframes._version += 1
+            self.keyframes._struct_version += 1
         self._win = [
             {k: (v if k == "row" else jnp.asarray(v)) for k, v in w.items()}
             for w in d.get("win", [])
@@ -623,19 +641,28 @@ class MultiMotSystem:
             return False
         cam = self.cfg.camera
         uv, desc, valid, z = self._frame_features(fd)
-        from multimot_track_tpu.geometry import camera as cam_g
-
-        Xc = np.asarray(cam_g.backproject(uv, z, cam.fx, cam.fy, cam.cx, cam.cy))
-        Twc = np.linalg.inv(Tcw)
-        Xw = (Twc[:3, :3] @ Xc.T).T + Twc[:3, 3]
+        Twc = np.linalg.inv(Tcw).astype(np.float32)
+        bits, f32 = _keyframe_payload(
+            uv, desc, valid, z, jnp.asarray(Twc),
+            cam.fx, cam.fy, cam.cx, cam.cy,
+        )
+        bits = np.asarray(bits)
+        f32 = np.asarray(f32)
+        n = bits.shape[0]
+        uv_h = f32[: 2 * n].reshape(n, 2)
+        Xw_h = f32[2 * n : 5 * n].reshape(n, 3)
+        valid_h = f32[5 * n :] > 0.5
+        desc_h = (
+            np.unpackbits(bits, axis=-1).astype(np.int8) * 2 - 1
+        )
         added = self.keyframes.maybe_add(
             Keyframe(
                 index=self._frame_idx,
                 Tcw=Tcw.astype(np.float32),
-                uv=np.asarray(uv),
-                desc=np.asarray(desc),
-                valid=np.asarray(valid),
-                Xw=Xw.astype(np.float32),
+                uv=uv_h.astype(np.float32),
+                desc=desc_h,
+                valid=valid_h,
+                Xw=Xw_h.astype(np.float32),
             )
         )
         if added:
@@ -813,8 +840,12 @@ class MultiMotSystem:
             jnp.stack([w["sem"] for w in self._win]),
             self.cfg,
         )
-        poses_out = np.asarray(poses_out)
-        motions_out = np.asarray(motions_out)
+        # one fetch for both outputs (each np.asarray is a tunnel round trip)
+        both = np.asarray(
+            jnp.concatenate([poses_out.reshape(-1), motions_out.reshape(-1)])
+        )
+        poses_out = both[: Wn * 16].reshape(Wn, 4, 4)
+        motions_out = both[Wn * 16 :].reshape(Wn - 1, K, 4, 4)
         if not (np.isfinite(poses_out).all() and np.isfinite(motions_out).all()):
             return None
         for f in range(Wn):

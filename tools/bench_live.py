@@ -88,9 +88,18 @@ def main():
     run_pass(frames[: min(24, args.frames)], cfg, "warmup", timed=False)
 
     best = None
+    nb = 5  # kitti_sample length; wrap pairs (4 -> 0) carry reused flow
+    order = [i % nb for i in range(args.frames)]
+    genuine = [k for k in range(args.frames - 1) if order[k + 1] == order[k] + 1]
+
     for r in range(args.runs):
         times, sys_ = run_pass(frames, cfg, f"timed{r}", timed=True)
         med = float(np.median(times))
+        rpe = [
+            float(sys_.map.cam_rpe_rel[j][0])
+            for j in genuine
+            if j < len(sys_.map.cam_rpe_rel)
+        ]
         out = {
             "mode": "unfused" if args.unfused else "fused",
             "n_frames": len(frames),
@@ -101,6 +110,9 @@ def main():
             "cam_t_rpe_rel_mean": round(
                 float(sys_.summary()["cam_t_rpe_rel_mean"]), 4
             ),
+            # wrap pairs reuse frame 4's flow for a 4->0 jump; only the
+            # genuine consecutive pairs measure real tracking quality
+            "cam_t_rpe_genuine_pairs": round(float(np.mean(rpe)), 4),
         }
         print(json.dumps(out))
         if best is None or out["median_fps"] > best["median_fps"]:
