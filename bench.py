@@ -115,10 +115,21 @@ def main():
     }
     # device-compute-only throughput (PERF.md chained-scan slope timing,
     # immune to the tunnel) when characterized
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "PERF.json")) as f:
+        with open(os.path.join(here, "PERF.json")) as f:
             perf = json.load(f)
         out["device_pairs_per_s"] = perf["track_pairs"]["device_pairs_per_s"]
+    except Exception:
+        pass
+    # live-mode (frame-by-frame, full backend) serving numbers, measured
+    # separately by tools/bench_live.py on this chip (builder-run, not
+    # re-timed here: its fresh-process compile cost would dominate)
+    try:
+        with open(os.path.join(here, "LIVE.json")) as f:
+            live = json.load(f)
+        out["live_median_fps_builder_measured"] = live["fused"]["median_fps"]
+        out["live_total_fps_builder_measured"] = live["fused"]["total_fps"]
     except Exception:
         pass
     print(json.dumps(out))
