@@ -66,19 +66,26 @@ def live_refine_step(
     poses_rel_prev,    # (W-1, 4, 4) window poses rel. frame 0 (host-known)
     Twc0,              # (4, 4) window anchor world pose (inv of frame-0 Tcw)
     grays, depth0, flows, sems,  # window wire tensors (device-resident)
+    corr,              # (4, 4) cumulative right-factor mapping the raw
+    #                    device odometry chain into the recorded world
+    #                    frame (identity in synchronous mode; pipelined
+    #                    mode's host corrections never touch the chain)
     cfg: PipelineConfig,
     use_lm: bool,
     use_win: bool,
     min_inliers: int,
 ):
     """Returns ``concat(packed, T1(16), accept_lm, n_lm, poses_out(W*16),
-    n_live)`` as one float32 vector (one device->host transfer)."""
+    n_live)`` as one float32 vector (one device->host transfer).  T1 and
+    poses_out are in the RECORDED world frame (corr applied)."""
     offs, _ = packed_offsets(cfg)
     off_T, _ = _lookup(offs, ".Tcw_cur")
     off_ninl, _ = _lookup(offs, ".n_static_inliers")
     cam, be = cfg.camera, cfg.backend
 
-    T_flow = jax.lax.dynamic_slice(packed, (off_T,), (16,)).reshape(4, 4)
+    T_flow = (
+        jax.lax.dynamic_slice(packed, (off_T,), (16,)).reshape(4, 4) @ corr
+    )
     n_inl_flow = packed[off_ninl].astype(jnp.int32)
     ok = n_inl_flow >= min_inliers
 

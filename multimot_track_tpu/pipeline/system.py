@@ -137,8 +137,20 @@ class MultiMotSystem:
                  enable_keyframes: bool = True, keyframe_gap: int = 5,
                  enable_loop_closing: bool = True, loop_min_matches: int = 40,
                  loop_min_kf_separation: int = 3,
-                 discover_objects: bool = False):
+                 discover_objects: bool = False,
+                 pipelined: bool = False):
         self.cfg = cfg
+        # one-frame-latency serving: track_rgbd returns frame k-1's result
+        # while frame k's device programs run; the blocking fetch overlaps
+        # the next frame's compute (call flush() at sequence end).  The
+        # device odometry chain runs uncorrected; host refinements ride a
+        # cumulative right-factor (self._corr) into the refine program and
+        # the recorded trajectory.
+        self.pipelined = pipelined
+        if pipelined and not cfg.backend.fused_refine:
+            raise ValueError("pipelined mode requires backend.fused_refine")
+        self._pending = None
+        self._corr = np.eye(4, dtype=np.float32)
         self.key = jax.random.PRNGKey(seed)
         self.map = MapState()
         self._last_obs: Optional[F.FrameObservation] = None
@@ -198,6 +210,7 @@ class MultiMotSystem:
             loop_min_matches=self.loop_min_matches,
             loop_min_kf_separation=self.loop_min_kf_separation,
             discover_objects=self.discover_objects,
+            pipelined=self.pipelined,
         )
 
     # ------------------------------------------------------------------
@@ -205,6 +218,8 @@ class MultiMotSystem:
         """Serialize resumable state (the reference's unimplemented map
         save/load TODO, include/System.h:117-119)."""
         import pickle
+
+        self.flush()
 
         ctx = jax.tree_util.tree_map(np.asarray, self._ctx) if self._ctx else None
         obs = jax.tree_util.tree_map(np.asarray, self._last_obs) if self._last_obs else None
@@ -222,6 +237,7 @@ class MultiMotSystem:
                     # backend state: keyframe map (local-map tracking, reloc,
                     # loop closing) and the trailing window's tensors — a
                     # resumed run must track identically to an unbroken one
+                    "corr": self._corr,
                     "keyframes": self.keyframes.frames if self.keyframes else None,
                     "win": [
                         {k: (v if k == "row" else np.asarray(v)) for k, v in w.items()}
@@ -250,6 +266,8 @@ class MultiMotSystem:
         self._next_track_id = d["next_track_id"]
         self.state = d["state"]
         self._velocity = d["velocity"]
+        self._corr = d.get("corr", np.eye(4, dtype=np.float32))
+        self._pending = None
         if d.get("keyframes") is not None and self.keyframes is not None:
             self.keyframes.frames = d["keyframes"]
             self.keyframes._version += 1
@@ -309,6 +327,12 @@ class MultiMotSystem:
             uploaded if uploaded is not None else self.upload(fd)
         )
         self._dev_images = (self._frame_idx, gray, depth)
+        # discovery consumes the PREVIOUS frame's window entry and the
+        # current velocity estimate: pipelined mode must drain the pending
+        # frame first (losing the overlap on discovery runs)
+        early_flush = None
+        if self.discover_objects and self._pending is not None:
+            early_flush = self.flush()
         # discovery needs a velocity estimate (frame >= 2): with T_rel = I
         # the whole scene fails the ego-consistency gate and everything
         # would be flagged dynamic
@@ -347,97 +371,175 @@ class MultiMotSystem:
         if self._result_spec is None:
             self._result_spec = tracker.light_result_spec(cfg)
 
-        # --- fused refinement dispatch (pipeline/live_refine): chain
-        # TrackLocalMap + trailing-window BA onto the NOT-yet-fetched
-        # full_step output so the whole frame blocks on one transfer ---
+        pend = {
+            "packed": packed, "new_ctx": new_ctx, "fd": fd, "key": step_key,
+            "frame_idx": self._frame_idx,
+            "gray": gray, "depth": depth, "flow": flow, "sem": sem,
+            "feats": self._frame_features(fd) if self.enable_keyframes else None,
+            "corr": self._corr.copy(),
+            "refine_handle": None, "use_lm": False, "use_win": False,
+            "win_after": None, "Twc0_h": None,
+        }
+        # the device odometry chain advances at DISPATCH time; host-side
+        # corrections never touch it (they enter the refine program as the
+        # cumulative right-factor ``corr`` and the recorded trajectory)
+        self._ctx = new_ctx
+        self._last_obs = obs
+        self._frame_idx += 1
+
+        if self.pipelined:
+            # one-frame-latency serving: the blocking fetch of the PREVIOUS
+            # frame's packed result overlaps THIS frame's device compute —
+            # the role of the reference's LocalMapping/LoopClosing threads
+            # (src/System.cc:92-97), recovered without shared-state locks
+            result_prev = early_flush
+            if self._pending is not None:
+                result_prev = self._process_frame(self._pending)
+                self._pending = None
+            self._dispatch_refine(pend)
+            self._pending = pend
+            self.map.frame_times.append(time.perf_counter() - t0)
+            return result_prev
+
+        self._dispatch_refine(pend)
+        result = self._process_frame(pend)
+        self.map.frame_times.append(time.perf_counter() - t0)
+        return result
+
+    def flush(self):
+        """Drain the pipelined mode's in-flight frame (call at sequence
+        end).  No-op in synchronous mode."""
+        if self._pending is not None:
+            result = self._process_frame(self._pending)
+            self._pending = None
+            return result
+        return None
+
+    def _dispatch_refine(self, pend):
+        """Build + dispatch the fused refinement program for a frame whose
+        full_step is already in flight.  Requires the trajectory rows of
+        all PREVIOUS frames to exist (pipelined mode processes the pending
+        frame first)."""
+        cfg = self.cfg
         be = cfg.backend
-        fused = be.fused_refine
+        fd = pend["fd"]
+        gray, depth, flow, sem = (
+            pend["gray"], pend["depth"], pend["flow"], pend["sem"]
+        )
+        if not be.fused_refine:
+            return
         use_lm = bool(
             be.track_local_map
             and self.keyframes is not None
             and self.keyframes.frames
         )
-        use_win = False
         win_after = None
-        refine_handle = None
-        Twc0_h = None
-        if fused:
-            if be.window_refine or be.joint_window_refine or self.discover_objects:
-                win_after = (
-                    self._win
-                    + [{"gray": gray, "depth": depth, "flow": flow, "sem": sem,
-                        "row": len(self.map.camera_poses)}]
-                )[-be.window_size:]
-            use_win = bool(
-                be.window_refine
-                and win_after is not None
-                and len(win_after) == be.window_size
-            )
-            if use_lm or use_win:
-                from multimot_track_tpu.pipeline import live_refine
+        if be.window_refine or be.joint_window_refine or self.discover_objects:
+            # the frame's trajectory row equals its frame index (one row
+            # per frame) — len(camera_poses) would lag in pipelined mode
+            win_after = (
+                self._win
+                + [{"gray": gray, "depth": depth, "flow": flow, "sem": sem,
+                    "row": pend["frame_idx"]}]
+            )[-be.window_size:]
+        use_win = bool(
+            be.window_refine
+            and win_after is not None
+            and len(win_after) == be.window_size
+        )
+        pend.update(use_lm=use_lm, use_win=use_win, win_after=win_after)
+        if not (use_lm or use_win):
+            return
+        from multimot_track_tpu.pipeline import live_refine
 
-                zf = jnp.zeros((), jnp.float32)
-                if use_lm:
-                    uv_c, desc_c, valid_c, z_c = self._frame_features(fd)
-                    Xw_m, desc_m, valid_m = self.keyframes.local_map(
-                        n_kf=be.local_map_kfs
-                    )
-                else:
-                    uv_c = desc_c = valid_c = z_c = zf
-                    Xw_m = desc_m = valid_m = zf
-                if use_win:
-                    rows_prev = [w["row"] for w in win_after[:-1]]
-                    Twc0_h = np.asarray(
-                        self.map.camera_poses[rows_prev[0]], np.float32
-                    )
-                    Tcw0_h = np.linalg.inv(Twc0_h).astype(np.float32)
-                    poses_rel_prev = np.stack(
-                        [
-                            np.linalg.inv(self.map.camera_poses[r]).astype(
-                                np.float32
-                            ) @ Twc0_h
-                            for r in rows_prev
-                        ]
-                    )
-                    grays_w = jnp.stack([w["gray"] for w in win_after])
-                    flows_w = jnp.stack([w["flow"] for w in win_after[:-1]])
-                    sems_w = jnp.stack([w["sem"] for w in win_after])
-                    depth0_w = win_after[0]["depth"]
-                else:
-                    poses_rel_prev = np.zeros((0, 4, 4), np.float32)
-                    Twc0_h = np.eye(4, dtype=np.float32)
-                    grays_w = flows_w = sems_w = depth0_w = zf
-                refine_handle = live_refine.live_refine_step(
-                    packed, uv_c, desc_c, valid_c, z_c,
-                    Xw_m, desc_m, valid_m,
-                    jnp.asarray(poses_rel_prev), jnp.asarray(Twc0_h),
-                    grays_w, depth0_w, flows_w, sems_w,
-                    cfg, use_lm, use_win, self.min_inliers,
-                )
+        zf = jnp.zeros((), jnp.float32)
+        if use_lm:
+            uv_c, desc_c, valid_c, z_c = (
+                pend["feats"]
+                if pend["feats"] is not None
+                else self._frame_features(fd)
+            )
+            Xw_m, desc_m, valid_m = self.keyframes.local_map(
+                n_kf=be.local_map_kfs
+            )
+        else:
+            uv_c = desc_c = valid_c = z_c = zf
+            Xw_m = desc_m = valid_m = zf
+        if use_win:
+            rows_prev = [w["row"] for w in win_after[:-1]]
+            Twc0_h = np.asarray(self.map.camera_poses[rows_prev[0]], np.float32)
+            poses_rel_prev = np.stack(
+                [
+                    np.linalg.inv(self.map.camera_poses[r]).astype(np.float32)
+                    @ Twc0_h
+                    for r in rows_prev
+                ]
+            )
+            grays_w = jnp.stack([w["gray"] for w in win_after])
+            flows_w = jnp.stack([w["flow"] for w in win_after[:-1]])
+            sems_w = jnp.stack([w["sem"] for w in win_after])
+            depth0_w = win_after[0]["depth"]
+        else:
+            poses_rel_prev = np.zeros((0, 4, 4), np.float32)
+            Twc0_h = np.eye(4, dtype=np.float32)
+            grays_w = flows_w = sems_w = depth0_w = zf
+        pend["Twc0_h"] = Twc0_h
+        pend["refine_handle"] = live_refine.live_refine_step(
+            pend["packed"], uv_c, desc_c, valid_c, z_c,
+            Xw_m, desc_m, valid_m,
+            jnp.asarray(poses_rel_prev), jnp.asarray(Twc0_h),
+            grays_w, depth0_w, flows_w, sems_w,
+            jnp.asarray(pend["corr"]),
+            cfg, use_lm, use_win, self.min_inliers,
+        )
+
+    def _process_frame(self, pend):
+        """Fetch one frame's (solve + refinements) and run every host-side
+        decision: state machine, refinement acceptance, recording, keyframe
+        cadence work.  ONE blocking device->host transfer."""
+        cfg = self.cfg
+        be = cfg.backend
+        K = cfg.padding.k_obj_max
+        fd = pend["fd"]
+        frame_idx = pend["frame_idx"]
+        corr = pend["corr"]
+        use_lm, use_win = pend["use_lm"], pend["use_win"]
+        win_after, Twc0_h = pend["win_after"], pend["Twc0_h"]
+        new_ctx = pend["new_ctx"]
+        fused = be.fused_refine
 
         # exactly one device->host transfer for the whole frame result
-        if refine_handle is not None:
+        if pend["refine_handle"] is not None:
             from multimot_track_tpu.pipeline import live_refine
 
             packed_h, T1, accept_lm, _n_lm, poses_out, n_live = (
                 live_refine.split_refined(
-                    np.asarray(refine_handle), cfg,
+                    np.asarray(pend["refine_handle"]), cfg,
                     window=len(win_after) if use_win else 0,
                 )
             )
             result = tracker.unpack_pytree(packed_h, self._result_spec)
         else:
-            result = tracker.unpack_pytree(packed, self._result_spec)
+            result = tracker.unpack_pytree(pend["packed"], self._result_spec)
+
+        # the pose of the device odometry chain, and its correction into
+        # the recorded world frame (identity in synchronous mode — the
+        # chain is corrected in place there)
+        Tcw_dev_flow = np.asarray(result.Tcw_cur, np.float32)
+        result = result._replace(
+            Tcw_cur=(Tcw_dev_flow @ corr).astype(np.float32)
+        )
 
         # --- tracking-state machine + constant-velocity fallback ---
         Tcw_last = self._Tcw_last_h
-        if int(result.n_static_inliers) < self.min_inliers:
+        flow_ok = int(result.n_static_inliers) >= self.min_inliers
+        if not flow_ok:
             self.state = self.STATE_LOST
             self._lost_streak += 1
             Tcw_fallback = self._velocity @ Tcw_last
             # relocalization attempt against stored keyframes (descriptor
             # place recognition -> RANSAC PnP), reference's LOST ladder
-            T_reloc = self._try_relocalize(fd, step_key)
+            T_reloc = self._try_relocalize(pend["feats"], pend["key"])
             if T_reloc is not None:
                 Tcw_fallback = T_reloc
                 self.state = self.STATE_OK
@@ -452,33 +554,35 @@ class MultiMotSystem:
             self._lost_streak = 0
             self._velocity = np.asarray(result.Tcw_cur) @ np.linalg.inv(Tcw_last)
 
-        # the pose of the device solve (post state-machine fallback): the
-        # frame the device's object motions H were anchored on, and the
+        # the frame the device's object motions H were anchored on, and the
         # "online" trajectory sample before any map-based refinement
         Tcw_online = np.asarray(result.Tcw_cur)
 
+        def _fix_ctx(**kw):
+            # synchronous mode corrects the device chain in place; the
+            # pipelined chain stays raw (corrections ride ``corr``)
+            nonlocal new_ctx
+            if not self.pipelined:
+                new_ctx = new_ctx._replace(
+                    **{k: jnp.asarray(v) for k, v in kw.items()}
+                )
+
         if fused:
             # apply the device-gated refinements fetched with the result
-            # (same math/gates as the unfused branch below, but the device
-            # already evaluated the acceptance tests — the host only
-            # honours them, and discards everything on a LOST frame)
-            # gate on the FLOW solve being OK (not just the post-ladder
-            # state): on a reloc-rescued frame the device refinements were
-            # speculatively computed from the diverged flow pose and must
-            # be discarded wholesale
-            flow_ok = int(result.n_static_inliers) >= self.min_inliers
+            # (device evaluated the acceptance tests; the host honours
+            # them, and discards everything on a LOST/reloc-rescued frame
+            # whose refinements were speculative)
             if flow_ok and use_lm and accept_lm:
                 result = result._replace(Tcw_cur=T1)
                 self._velocity = (T1 @ np.linalg.inv(Tcw_last)).astype(
                     np.float32
                 )
-                new_ctx = new_ctx._replace(
-                    Tcw_last=jnp.asarray(T1),
-                    T_velocity=jnp.asarray(self._velocity),
-                )
-            self._record(result, fd, Tcw_online=Tcw_online)
+                _fix_ctx(Tcw_last=T1, T_velocity=self._velocity)
+            self._record(result, fd, Tcw_online=Tcw_online,
+                         frame_idx=frame_idx)
             self._push_window(
-                gray, depth, flow, sem, len(self.map.camera_poses) - 1
+                pend["gray"], pend["depth"], pend["flow"], pend["sem"],
+                len(self.map.camera_poses) - 1,
             )
             if (
                 flow_ok
@@ -495,77 +599,93 @@ class MultiMotSystem:
                     )
                 refined_last = (poses_out[-1] @ Tcw0_abs).astype(np.float32)
                 result = result._replace(Tcw_cur=refined_last)
-                new_ctx = new_ctx._replace(Tcw_last=jnp.asarray(refined_last))
+                _fix_ctx(Tcw_last=refined_last)
                 if len(self.map.camera_poses) >= 2:
                     # Tcw_cur @ Twc_prev (camera_poses stores Twc)
                     self._velocity = (
                         refined_last @ self.map.camera_poses[-2]
                     ).astype(np.float32)
-                    new_ctx = new_ctx._replace(
-                        T_velocity=jnp.asarray(self._velocity)
-                    )
+                    _fix_ctx(T_velocity=self._velocity)
         else:
             # TrackLocalMap rung (src/Tracking.cc:3189): let the accumulated
             # keyframe map refine the per-pair flow pose before it is recorded
-            if use_lm and self.state == self.STATE_OK:
-                T_lm = self._track_local_map(fd, Tcw_online)
+            use_lm_sync = bool(
+                be.track_local_map
+                and self.keyframes is not None
+                and self.keyframes.frames
+            )
+            if use_lm_sync and self.state == self.STATE_OK:
+                T_lm = self._track_local_map(Tcw_online, pend["feats"], fd)
                 if T_lm is not None:
-                    result = result._replace(Tcw_cur=jnp.asarray(T_lm))
+                    result = result._replace(Tcw_cur=T_lm)
                     self._velocity = (T_lm @ np.linalg.inv(Tcw_last)).astype(np.float32)
-                    new_ctx = new_ctx._replace(
-                        Tcw_last=jnp.asarray(T_lm),
-                        T_velocity=jnp.asarray(self._velocity),
-                    )
+                    _fix_ctx(Tcw_last=T_lm, T_velocity=self._velocity)
 
-            self._record(result, fd, Tcw_online=Tcw_online)
-            self._push_window(gray, depth, flow, sem, len(self.map.camera_poses) - 1)
+            self._record(result, fd, Tcw_online=Tcw_online,
+                         frame_idx=frame_idx)
+            self._push_window(
+                pend["gray"], pend["depth"], pend["flow"], pend["sem"],
+                len(self.map.camera_poses) - 1,
+            )
             if cfg.backend.window_refine and self.state == self.STATE_OK:
                 refined_last = self._refine_window()
                 if refined_last is not None:
-                    result = result._replace(Tcw_cur=jnp.asarray(refined_last))
-                    new_ctx = new_ctx._replace(Tcw_last=jnp.asarray(refined_last))
+                    result = result._replace(Tcw_cur=refined_last)
+                    _fix_ctx(Tcw_last=refined_last)
                     if len(self.map.camera_poses) >= 2:
                         # Tcw_cur @ Twc_prev (camera_poses stores Twc)
                         self._velocity = (
                             refined_last @ self.map.camera_poses[-2]
                         ).astype(np.float32)
-                        new_ctx = new_ctx._replace(T_velocity=jnp.asarray(self._velocity))
+                        _fix_ctx(T_velocity=self._velocity)
         if self.enable_keyframes and self.state == self.STATE_OK:
             # after _record so the keyframe's trajectory row exists; a
             # successful loop closure rewrites the recorded trajectory
-            added = self._maybe_add_keyframe(fd, np.asarray(result.Tcw_cur))
+            added = self._maybe_add_keyframe(
+                fd, np.asarray(result.Tcw_cur), pend["feats"], frame_idx
+            )
             if added and cfg.backend.joint_window_refine:
                 # joint ego+object windowed BA at keyframe cadence (the
                 # LocalBundleAdjustment rung, extended with object motions)
                 joint_last = self._refine_joint_window()
                 if joint_last is not None:
-                    result = result._replace(Tcw_cur=jnp.asarray(joint_last))
-                    new_ctx = new_ctx._replace(Tcw_last=jnp.asarray(joint_last))
+                    result = result._replace(Tcw_cur=joint_last)
+                    _fix_ctx(Tcw_last=joint_last)
                     if len(self.map.camera_poses) >= 2:
                         self._velocity = (
                             joint_last @ self.map.camera_poses[-2]
                         ).astype(np.float32)
-                        new_ctx = new_ctx._replace(
-                            T_velocity=jnp.asarray(self._velocity)
-                        )
+                        _fix_ctx(T_velocity=self._velocity)
             if added and self.enable_loop_closing:
-                corrected_last = self._maybe_close_loop(step_key)
+                corrected_last = self._maybe_close_loop(pend["key"], frame_idx)
                 if corrected_last is not None:
-                    result = result._replace(Tcw_cur=jnp.asarray(corrected_last))
-                    new_ctx = new_ctx._replace(
-                        Tcw_last=jnp.asarray(corrected_last),
-                        T_velocity=jnp.asarray(self._velocity),
+                    result = result._replace(Tcw_cur=corrected_last)
+                    _fix_ctx(
+                        Tcw_last=corrected_last, T_velocity=self._velocity
                     )
         if self.state == self.STATE_LOST:
-            # next_context on device used the diverged pose; rebuild from
-            # the fallback so the next pair anchors on it
-            self._ctx = tracker.next_context(result, self._ctx, K)
-        else:
+            # the device chain anchored on a diverged pose: rebuild the
+            # context from the fallback (pipelined mode re-bases its chain
+            # onto the corrected frame, so the correction factor resets).
+            # The velocity anchor is the last RECORDED pose, not the
+            # chain's diverged one.
+            self._ctx = tracker.next_context(
+                result,
+                self._ctx._replace(Tcw_last=jnp.asarray(Tcw_last)),
+                K,
+            )
+            self._corr = np.eye(4, dtype=np.float32)
+        elif not self.pipelined:
             self._ctx = new_ctx
-        self._last_obs = obs
+            self._corr = np.eye(4, dtype=np.float32)
+        else:
+            # cumulative right-factor mapping the raw device chain into
+            # the recorded (refined/corrected) world frame:
+            # T_recorded = T_device @ corr
+            self._corr = (
+                np.linalg.inv(Tcw_dev_flow) @ np.asarray(result.Tcw_cur)
+            ).astype(np.float32)
         self._Tcw_last_h = np.asarray(result.Tcw_cur, np.float32)
-        self._frame_idx += 1
-        self.map.frame_times.append(time.perf_counter() - t0)
         return result
 
     # ------------------------------------------------------------------
@@ -601,7 +721,7 @@ class MultiMotSystem:
         self._feat_cache = (self._frame_idx, feats)
         return feats
 
-    def _track_local_map(self, fd: FrameData, Tcw_init: np.ndarray):
+    def _track_local_map(self, Tcw_init: np.ndarray, feats=None, fd=None):
         """Refine the flow pose against the local map (TrackLocalMap,
         src/Tracking.cc:3189).  Returns the refined Tcw or None when the
         refinement fails the acceptance gates (too few inliers, or a
@@ -609,7 +729,9 @@ class MultiMotSystem:
         carry z^2-growing stereo-depth noise, so the flow pose stays the
         anchor and the map is only allowed to nudge it)."""
         be, cam = self.cfg.backend, self.cfg.camera
-        uv, desc, valid, z = self._frame_features(fd)
+        uv, desc, valid, z = (
+            feats if feats is not None else self._frame_features(fd)
+        )
         T, n_inl, _ = self.keyframes.track_local_map(
             Tcw_init, uv, desc, valid, z,
             cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height, cam.bf,
@@ -631,16 +753,22 @@ class MultiMotSystem:
             return None
         return T.astype(np.float32)
 
-    def _maybe_add_keyframe(self, fd: FrameData, Tcw: np.ndarray) -> bool:
+    def _maybe_add_keyframe(
+        self, fd: FrameData, Tcw: np.ndarray, feats=None, frame_idx=None
+    ) -> bool:
         from multimot_track_tpu.pipeline.keyframes import Keyframe
 
+        if frame_idx is None:
+            frame_idx = self._frame_idx
         if self.keyframes.frames and (
-            self._frame_idx - self.keyframes.frames[-1].index
+            frame_idx - self.keyframes.frames[-1].index
             < self.keyframes.min_gap
         ):
             return False
         cam = self.cfg.camera
-        uv, desc, valid, z = self._frame_features(fd)
+        uv, desc, valid, z = (
+            feats if feats is not None else self._frame_features(fd)
+        )
         Twc = np.linalg.inv(Tcw).astype(np.float32)
         bits, f32 = _keyframe_payload(
             uv, desc, valid, z, jnp.asarray(Twc),
@@ -657,7 +785,7 @@ class MultiMotSystem:
         )
         added = self.keyframes.maybe_add(
             Keyframe(
-                index=self._frame_idx,
+                index=frame_idx,
                 Tcw=Tcw.astype(np.float32),
                 uv=uv_h.astype(np.float32),
                 desc=desc_h,
@@ -866,7 +994,7 @@ class MultiMotSystem:
             self.map.obj_records[i].P_lc = P_new.astype(np.float32)
         return (poses_out[-1] @ Tcw_abs[0]).astype(np.float32)
 
-    def _maybe_close_loop(self, key) -> Optional[np.ndarray]:
+    def _maybe_close_loop(self, key, frame_idx=None) -> Optional[np.ndarray]:
         """Loop detection + Sim3 verification + pose-graph correction on the
         newest keyframe (the reference's LoopClosing::Run cycle,
         src/LoopClosing.cc:58-647, run synchronously at keyframe cadence).
@@ -911,25 +1039,34 @@ class MultiMotSystem:
                 corrected[-1] @ np.linalg.inv(corrected[-2])
             ).astype(np.float32)
         self.map.loop_events.append(
-            (self._frame_idx, self.keyframes.frames[cand].index, n_inl)
+            (
+                self._frame_idx if frame_idx is None else frame_idx,
+                self.keyframes.frames[cand].index,
+                n_inl,
+            )
         )
         return corrected[-1]
 
-    def _try_relocalize(self, fd: FrameData, key):
+    def _try_relocalize(self, feats, key):
         if not self.enable_keyframes or not (self.keyframes and self.keyframes.frames):
             return None
+        if feats is None:
+            return None
         cam = self.cfg.camera
-        uv, desc, valid, _ = self._frame_features(fd)
+        uv, desc, valid, _ = feats
         return self.keyframes.relocalize(
             key, desc, uv, valid, cam.fx, cam.fy, cam.cx, cam.cy
         )
 
     # ------------------------------------------------------------------
-    def _record(self, r: tracker.PairResult, fd: FrameData, Tcw_online=None):
+    def _record(self, r: tracker.PairResult, fd: FrameData, Tcw_online=None,
+                frame_idx=None):
         """``Tcw_online`` — the device solve's pose before local-map
         refinement; it anchors the raw trajectory and the P_lc
         decomposition (the device computed H with THIS pose, so unmixing
         H into a camera-independent measurement must use it too)."""
+        if frame_idx is None:
+            frame_idx = self._frame_idx
         m = self.map
         if Tcw_online is None:
             Tcw_online = np.asarray(r.Tcw_cur)
@@ -971,7 +1108,7 @@ class MultiMotSystem:
                 continue
             sem_label = slot + 1
             prev_sem = int(mode[slot])
-            if prev_sem in self._sem_to_track and self._frame_idx > 1:
+            if prev_sem in self._sem_to_track and frame_idx > 1:
                 tid = self._sem_to_track[prev_sem]
             else:
                 tid = self._next_track_id
@@ -979,7 +1116,7 @@ class MultiMotSystem:
             new_map[sem_label] = tid
             m.obj_records.append(
                 ObjectRecord(
-                    frame=self._frame_idx,
+                    frame=frame_idx,
                     track_id=tid,
                     sem_label=sem_label,
                     H=np.asarray(ob.H[slot]),
@@ -1008,6 +1145,7 @@ class MultiMotSystem:
 
     # ------------------------------------------------------------------
     def summary(self) -> dict:
+        self.flush()
         m = self.map
         cam = np.asarray(m.cam_rpe_rel) if m.cam_rpe_rel else np.zeros((0, 2))
         # GT-free sequences produce non-finite relative errors (division by
@@ -1035,6 +1173,7 @@ class MultiMotSystem:
         """Ego ATE-RMSE vs ground truth after rigid alignment (BASELINE
         metric alongside the per-frame RPE).  ``raw=True`` evaluates the
         online frame-to-frame trajectory before backend refinement."""
+        self.flush()
         import jax.numpy as jnp
 
         from multimot_track_tpu.eval.metrics import absolute_trajectory_error
@@ -1119,12 +1258,14 @@ class MultiMotSystem:
     # ------------------------------------------------------------------
     def save_trajectory_kitti(self, path):
         """3x4 row-major Twc per line (src/System.cc:600-664)."""
+        self.flush()
         with open(path, "w") as f:
             for T in self.map.camera_poses:
                 f.write(" ".join(f"{v:.9e}" for v in T[:3].reshape(-1)) + "\n")
 
     def save_trajectory_tum(self, path):
         """timestamp tx ty tz qx qy qz qw (src/System.cc:494-561)."""
+        self.flush()
         from scipy.spatial.transform import Rotation
 
         with open(path, "w") as f:

@@ -1,0 +1,71 @@
+"""Pipelined (one-frame-latency) serving mode: track_rgbd returns frame
+k-1's result while frame k's device programs run, so the blocking fetch
+overlaps the next frame's compute — the reference recovers this overlap
+with LocalMapping/LoopClosing threads (src/System.cc:92-97).
+
+The device odometry chain runs uncorrected; host refinements enter the
+refine program as a cumulative right-factor and rewrite the recorded
+trajectory.  Tracking quality must match the synchronous mode."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from multimot_track_tpu.config import DEFAULT_CONFIG
+from multimot_track_tpu.io.kitti import KittiSequence
+from multimot_track_tpu.pipeline.system import MultiMotSystem
+
+TEST_CFG = dataclasses.replace(
+    DEFAULT_CONFIG,
+    padding=dataclasses.replace(
+        DEFAULT_CONFIG.padding, n_static_max=1024, n_obj_pts_max=2048, k_obj_max=4
+    ),
+    solver=dataclasses.replace(
+        DEFAULT_CONFIG.solver, ransac_iters=200, cam_lm_iters=60, obj_lm_iters=60
+    ),
+    backend=dataclasses.replace(DEFAULT_CONFIG.backend, window_size=3),
+)
+
+
+def _run(kitti_sample_dir, pipelined):
+    seq = KittiSequence(kitti_sample_dir)
+    s = MultiMotSystem(TEST_CFG, keyframe_gap=1, pipelined=pipelined)
+    results = []
+    for i in range(len(seq)):
+        r = s.track_rgbd(seq.load_frame(i))
+        if r is not None:
+            results.append(r)
+    last = s.flush()
+    if last is not None:
+        results.append(last)
+    return s, results
+
+
+def test_pipelined_requires_fused():
+    cfg = dataclasses.replace(
+        TEST_CFG,
+        backend=dataclasses.replace(TEST_CFG.backend, fused_refine=False),
+    )
+    with pytest.raises(ValueError):
+        MultiMotSystem(cfg, pipelined=True)
+
+
+@pytest.mark.slow
+def test_pipelined_matches_sync(kitti_sample_dir):
+    a, ra = _run(kitti_sample_dir, pipelined=False)
+    b, rb = _run(kitti_sample_dir, pipelined=True)
+    # every pair's result is eventually delivered, one frame late
+    assert len(ra) == len(rb) == 4
+    pa = np.stack(a.map.camera_poses)
+    pb = np.stack(b.map.camera_poses)
+    assert len(pa) == len(pb) == 5
+    # corrections land one frame later on the device chain, so the
+    # trajectories agree only approximately — but tightly
+    assert np.abs(pa - pb).max() < 5e-3, np.abs(pa - pb).max()
+    sa, sb = a.summary(), b.summary()
+    assert abs(sa["cam_t_rpe_rel_mean"] - sb["cam_t_rpe_rel_mean"]) < 0.01
+    assert abs(sa["ego_ate_rmse_m"] - sb["ego_ate_rmse_m"]) < 0.01
+    assert sa["n_obj_estimates"] == sb["n_obj_estimates"]
+    # flush is idempotent; summary auto-flushes
+    assert b.flush() is None

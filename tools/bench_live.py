@@ -11,7 +11,7 @@ next frame's pack+upload with the current solve.  A full warmup pass
 first (compiles every program variant incl. keyframe-cadence work); the
 timed pass then reports median and total frames/s.
 
-  python tools/bench_live.py [--frames 57] [--unfused] [--runs 1]
+  python tools/bench_live.py [--frames 57] [--unfused|--pipelined] [--runs 1]
 """
 
 import argparse
@@ -35,12 +35,12 @@ def build_frames(n_frames):
     return [base[i] for i in order]
 
 
-def run_pass(frames, cfg, tag, timed):
+def run_pass(frames, cfg, tag, timed, pipelined=False):
     import dataclasses
 
     from multimot_track_tpu.pipeline.system import MultiMotSystem
 
-    sys_ = MultiMotSystem(cfg)
+    sys_ = MultiMotSystem(cfg, pipelined=pipelined)
     pool = ThreadPoolExecutor(1)
 
     def prep(i):
@@ -61,16 +61,21 @@ def run_pass(frames, cfg, tag, timed):
         t0 = time.perf_counter()
         sys_.track_rgbd(fd, uploaded=handles)
         times.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    sys_.flush()
+    flush_s = time.perf_counter() - t0
     pool.shutdown()
     if not timed:
         return None
-    return np.asarray(times[1:]), sys_  # drop frame 0 (frontend only)
+    times = times[1:] + ([flush_s] if pipelined else [])
+    return np.asarray(times), sys_  # drop frame 0 (frontend only)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=57)
     ap.add_argument("--unfused", action="store_true")
+    ap.add_argument("--pipelined", action="store_true")
     ap.add_argument("--runs", type=int, default=1)
     args = ap.parse_args()
 
@@ -85,7 +90,8 @@ def main():
         )
 
     frames = build_frames(args.frames)
-    run_pass(frames[: min(24, args.frames)], cfg, "warmup", timed=False)
+    run_pass(frames[: min(24, args.frames)], cfg, "warmup", timed=False,
+             pipelined=args.pipelined)
 
     best = None
     nb = 5  # kitti_sample length; wrap pairs (4 -> 0) carry reused flow
@@ -93,7 +99,8 @@ def main():
     genuine = [k for k in range(args.frames - 1) if order[k + 1] == order[k] + 1]
 
     for r in range(args.runs):
-        times, sys_ = run_pass(frames, cfg, f"timed{r}", timed=True)
+        times, sys_ = run_pass(frames, cfg, f"timed{r}", timed=True,
+                               pipelined=args.pipelined)
         med = float(np.median(times))
         rpe = [
             float(sys_.map.cam_rpe_rel[j][0])
@@ -101,7 +108,8 @@ def main():
             if j < len(sys_.map.cam_rpe_rel)
         ]
         out = {
-            "mode": "unfused" if args.unfused else "fused",
+            "mode": ("unfused" if args.unfused else
+                     "pipelined" if args.pipelined else "fused"),
             "n_frames": len(frames),
             "median_s_per_frame": round(med, 4),
             "median_fps": round(1.0 / med, 2),
