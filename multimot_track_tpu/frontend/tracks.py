@@ -99,7 +99,7 @@ def build_window_tracks(
     midx, mok = [], []
     for f in range(len(grays) - 1):
         fl = camera.bilinear_sample(jnp.asarray(flows[f]), kps[f][0])
-        r = matching.match_projected(
+        r = matching.match_projected_auto(
             descs[f], kps[f][0] + fl, kp_valid[f],
             descs[f + 1], kps[f + 1][0], kp_valid[f + 1],
             radius=radius, ratio=1.0,

@@ -113,6 +113,45 @@ def match_projected(
     return MatchResult(idx=idx.astype(jnp.int32), dist=best, valid=ok)
 
 
+def match_projected_auto(
+    desc_a: jnp.ndarray,
+    uv_pred: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    uv_b: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    radius: float = 15.0,
+    threshold: float = TH_HIGH,
+    ratio: float = 0.9,
+    backend: str = "auto",
+) -> MatchResult:
+    """Backend dispatch for projection-guided matching, mirroring
+    ``solvers.flow_ba.solve_flow_ba_auto``: on TPU with a lane-aligned
+    query count the fused Pallas kernel (ops/pallas_match.py) computes
+    distance + spatial gate + best/second reduction without materialising
+    the (N, M) matrix in HBM; elsewhere the XLA matmul path.  Functional
+    contract identical (tests/test_orb_matching.py)."""
+    if backend == "auto":
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and desc_a.shape[0] % 128 == 0
+        )
+    else:
+        use_pallas = backend == "pallas"
+    if use_pallas:
+        from multimot_track_tpu.ops.pallas_match import fused_match_projected
+
+        best, second, idx = fused_match_projected(
+            desc_a, uv_pred, valid_a, desc_b, uv_b, valid_b, radius=radius
+        )
+        ok = valid_a & (best <= threshold) & (best < ratio * second)
+        return MatchResult(idx=idx.astype(jnp.int32), dist=best, valid=ok)
+    return match_projected(
+        desc_a, uv_pred, valid_a, desc_b, uv_b, valid_b,
+        radius=radius, threshold=threshold, ratio=ratio,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("mutual", "ratio"))
 def match_float(
     desc_a: jnp.ndarray,

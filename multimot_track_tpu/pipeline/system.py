@@ -150,6 +150,7 @@ class MultiMotSystem:
         if pipelined and not cfg.backend.fused_refine:
             raise ValueError("pipelined mode requires backend.fused_refine")
         self._pending = None
+        self._flush_buffer: List = []  # results drained by auto-flush, not yet returned
         self._corr = np.eye(4, dtype=np.float32)
         self.key = jax.random.PRNGKey(seed)
         self.map = MapState()
@@ -330,9 +331,8 @@ class MultiMotSystem:
         # discovery consumes the PREVIOUS frame's window entry and the
         # current velocity estimate: pipelined mode must drain the pending
         # frame first (losing the overlap on discovery runs)
-        early_flush = None
         if self.discover_objects and self._pending is not None:
-            early_flush = self.flush()
+            self.flush()  # result lands in _flush_buffer, returned below
         # discovery needs a velocity estimate (frame >= 2): with T_rel = I
         # the whole scene fails the ego-consistency gate and everything
         # would be flagged dynamic
@@ -376,7 +376,7 @@ class MultiMotSystem:
             "frame_idx": self._frame_idx,
             "gray": gray, "depth": depth, "flow": flow, "sem": sem,
             "feats": self._frame_features(fd) if self.enable_keyframes else None,
-            "corr": self._corr.copy(),
+            "corr": None,  # captured in _dispatch_refine, AFTER the pending drain
             "refine_handle": None, "use_lm": False, "use_win": False,
             "win_after": None, "Twc0_h": None,
         }
@@ -392,10 +392,14 @@ class MultiMotSystem:
             # frame's packed result overlaps THIS frame's device compute —
             # the role of the reference's LocalMapping/LoopClosing threads
             # (src/System.cc:92-97), recovered without shared-state locks
-            result_prev = early_flush
+            result_prev = None
             if self._pending is not None:
                 result_prev = self._process_frame(self._pending)
                 self._pending = None
+            elif self._flush_buffer:
+                # a frame drained by an auto-flush (summary()/savers/
+                # discovery) whose result was never returned to the caller
+                result_prev = self._flush_buffer.pop(0)
             self._dispatch_refine(pend)
             self._pending = pend
             self.map.frame_times.append(time.perf_counter() - t0)
@@ -408,10 +412,17 @@ class MultiMotSystem:
 
     def flush(self):
         """Drain the pipelined mode's in-flight frame (call at sequence
-        end).  No-op in synchronous mode."""
+        end).  No-op in synchronous mode.
+
+        NOTE: ``summary()``, ``ego_ate()`` and the ``save_trajectory_*``
+        methods auto-flush; the drained result is buffered and returned by
+        the NEXT ``track_rgbd`` call, so interleaving those accessors with
+        tracking never loses a frame's return value."""
         if self._pending is not None:
             result = self._process_frame(self._pending)
             self._pending = None
+            if result is not None:
+                self._flush_buffer.append(result)
             return result
         return None
 
@@ -423,6 +434,13 @@ class MultiMotSystem:
         cfg = self.cfg
         be = cfg.backend
         fd = pend["fd"]
+        # capture the correction factor HERE — in pipelined mode this runs
+        # after the previous frame drained, so every frame chains from
+        # corr_after_{j-1}.  Capturing at pend construction would chain from
+        # j-2, splitting corrections into interleaved even/odd parity chains
+        # (a reloc/loop correction would then reach only alternate frames).
+        # The raw device chain is unaffected by when corr is sampled.
+        pend["corr"] = self._corr.copy()
         gray, depth, flow, sem = (
             pend["gray"], pend["depth"], pend["flow"], pend["sem"]
         )
@@ -664,17 +682,33 @@ class MultiMotSystem:
                         Tcw_last=corrected_last, T_velocity=self._velocity
                     )
         if self.state == self.STATE_LOST:
-            # the device chain anchored on a diverged pose: rebuild the
-            # context from the fallback (pipelined mode re-bases its chain
-            # onto the corrected frame, so the correction factor resets).
-            # The velocity anchor is the last RECORDED pose, not the
-            # chain's diverged one.
-            self._ctx = tracker.next_context(
-                result,
-                self._ctx._replace(Tcw_last=jnp.asarray(Tcw_last)),
-                K,
-            )
-            self._corr = np.eye(4, dtype=np.float32)
+            if self.pipelined and np.isfinite(Tcw_dev_flow).all():
+                # mid-pipeline LOST: frame k is already in flight on the raw
+                # device chain, so NEVER rebase the chain here (that would
+                # anchor frame k+1 on a pose one frame old and leave frame
+                # k's stale corr uncorrected).  Apply the fallback/reloc
+                # pose as the cumulative right-factor instead: the in-flight
+                # frame's recorded pose becomes
+                # dev_rel_motion(k-1 -> k) @ Tcw_fallback — the correction
+                # reaches every subsequent frame, no motion is dropped.
+                self._corr = (
+                    np.linalg.inv(Tcw_dev_flow) @ np.asarray(result.Tcw_cur)
+                ).astype(np.float32)
+            else:
+                # the device chain anchored on a diverged (synchronous mode)
+                # or non-finite (pipelined; corr algebra impossible) pose:
+                # rebuild the context from the fallback.  The velocity
+                # anchor is the last RECORDED pose, not the chain's
+                # diverged one.  In the pipelined non-finite case this
+                # drops the one in-flight inter-frame motion (frame k+1
+                # re-anchors on frame k-1's corrected pose) — unavoidable
+                # without flushing, and the chain was unusable anyway.
+                self._ctx = tracker.next_context(
+                    result,
+                    self._ctx._replace(Tcw_last=jnp.asarray(Tcw_last)),
+                    K,
+                )
+                self._corr = np.eye(4, dtype=np.float32)
         elif not self.pipelined:
             self._ctx = new_ctx
             self._corr = np.eye(4, dtype=np.float32)

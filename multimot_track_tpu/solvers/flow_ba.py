@@ -235,6 +235,98 @@ def solve_flow_ba(
     )
 
 
+# one-per-process result of the scan-miscompile guard (None = not yet run)
+_SCAN_SELFCHECK: "bool | None" = None
+
+
+def _selfcheck_problem():
+    """Tiny deterministic solvable instance (N=128, 8 iters)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    N = 128
+    fx = fy = 460.0
+    cx, cy = 320.0, 192.0
+    Xc = np.stack(
+        [rng.uniform(-4, 4, N), rng.uniform(-2, 2, N), rng.uniform(6, 20, N)], -1
+    )
+    T_true = np.asarray(se3.exp_se3(jnp.asarray([0.01, -0.02, 0.005, 0.1, -0.05, 0.2])))
+    obs = np.asarray(camera.project(jnp.asarray(Xc), fx, fy, cx, cy))
+    y1 = Xc @ np.asarray(T_true)[:3, :3].T + np.asarray(T_true)[:3, 3]
+    uv1 = np.asarray(camera.project(jnp.asarray(y1), fx, fy, cx, cy))
+    flow = (uv1 - obs).astype(np.float32)
+    depth = Xc[:, 2].astype(np.float32)
+    valid = np.ones(N, bool)
+    params = FlowBAParams(iters=8)
+    return (
+        jnp.eye(4, dtype=jnp.float32), jnp.eye(4, dtype=jnp.float32),
+        jnp.asarray(obs, jnp.float32), jnp.asarray(flow),
+        jnp.asarray(depth), jnp.asarray(valid),
+        fx, fy, cx, cy, params, jnp.asarray(T_true, jnp.float32),
+    )
+
+
+def pallas_scan_selfcheck(force: bool = False, _pallas_solver=None) -> bool:
+    """Guard against the batch<=1-under-``lax.scan`` Mosaic miscompile
+    (flow_ba_pallas.py header erratum): run ONE tiny unbatched solve
+    *inside* ``lax.scan`` through the Pallas path and through XLA, and
+    compare the resulting poses.  Cached per process; ``backend="auto"``
+    dispatch consults it on TPU, falling back to XLA (with a warning) on
+    mismatch.  The Pallas kernel itself carries a duplicate-instance fence
+    that makes the scan context compile correctly on the current
+    toolchain — this check observes that the fence actually holds on
+    whatever toolchain is running.
+
+    ``_pallas_solver`` is injectable for tests (simulate the miscompile)."""
+    global _SCAN_SELFCHECK
+    if _SCAN_SELFCHECK is not None and not force:
+        return _SCAN_SELFCHECK
+    import os
+
+    if os.environ.get("MMT_SKIP_PALLAS_SELFCHECK"):
+        _SCAN_SELFCHECK = True
+        return True
+    import numpy as np
+
+    if _pallas_solver is None:
+        from multimot_track_tpu.solvers.flow_ba_pallas import solve_flow_ba_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        _pallas_solver = functools.partial(solve_flow_ba_pallas, interpret=interpret)
+
+    (T0, Twl, obs, flow, depth, valid, fx, fy, cx, cy, params, T_true) = (
+        _selfcheck_problem()
+    )
+
+    def scanned(solver):
+        def step(carry, _):
+            res = solver(T0, Twl, obs, flow, depth, valid, fx, fy, cx, cy,
+                         params=params)
+            return carry, res.T
+
+        _, Ts = jax.lax.scan(step, jnp.int32(0), jnp.arange(1))
+        return np.asarray(Ts[0])
+
+    T_pl = scanned(_pallas_solver)
+    T_xla = scanned(
+        lambda *a, **k: solve_flow_ba(*a, **k)
+    )
+    # the miscompile's signature is the scanned kernel returning its INIT
+    # pose; require pallas-under-scan to agree with XLA-under-scan
+    ok = bool(np.isfinite(T_pl).all() and np.allclose(T_pl, T_xla, atol=5e-3))
+    if not ok:
+        import warnings
+
+        warnings.warn(
+            "flow-BA Pallas kernel miscompiles under lax.scan on this "
+            "toolchain (returned pose differs from XLA); disabling the "
+            "Pallas backend for auto dispatch in this process.",
+            RuntimeWarning,
+        )
+    _SCAN_SELFCHECK = ok
+    return ok
+
+
 def solve_flow_ba_auto(
     T_init, Twl, obs, flow_meas, depth, valid, fx, fy, cx, cy,
     params: FlowBAParams = FlowBAParams(), backend: str = "auto",
@@ -242,15 +334,18 @@ def solve_flow_ba_auto(
 ) -> FlowBAResult:
     """Backend dispatch: the fused Pallas kernel on TPU, XLA elsewhere.
 
-    ``backend``: "auto" (Pallas iff running on TPU and the padded point
-    count is lane-aligned), "pallas", or "xla".  Both backends implement
+    ``backend``: "auto" (Pallas iff running on TPU, the padded point
+    count is lane-aligned, and the one-time scan-miscompile self-check
+    passed), "pallas", or "xla".  Both backends implement
     identical numerics (tests/test_flow_ba_pallas.py); Pallas runs the
     whole LM loop as one Mosaic program — measured 4.8x faster on the
     batched object path, 1.2x on the sequential camera chain (PERF.md).
     """
     if backend == "auto":
         use_pallas = (
-            jax.default_backend() == "tpu" and obs.shape[0] % 128 == 0
+            jax.default_backend() == "tpu"
+            and obs.shape[0] % 128 == 0
+            and pallas_scan_selfcheck()
         )
     else:
         use_pallas = backend == "pallas"

@@ -136,5 +136,5 @@ def test_system_gates_reject_wild_refinement(real_frames):
     # an init 2 m away: even if the map matches, the correction (> max_corr)
     # must be rejected — the flow pose is the anchor
     d = np.asarray(se3.exp_se3(jnp.asarray([0.0, 0.0, 0.0, 2.0, 0.0, 0.0])))
-    out = sys_._track_local_map(fd4, (d @ T_gt).astype(np.float32))
+    out = sys_._track_local_map((d @ T_gt).astype(np.float32), fd=fd4)
     assert out is None
