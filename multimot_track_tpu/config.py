@@ -67,14 +67,25 @@ class PaddingConfig:
 
     n_static_max: int = 2048        # static (background) tracked points
     n_obj_pts_max: int = 8192       # dense object points per frame
-    # the KITTI-format masks clamp labels to 1..3 (rgbd_tum.cc:335), so 4
-    # slots cover every sequence the reference can read; raise for datasets
-    # with more simultaneous instances
-    k_obj_max: int = 4
+    # concurrent-object slots.  The KITTI-format masks clamp labels to
+    # 1..3 (rgbd_tum.cc:335), but the reference's association tables
+    # handle ~12 concurrent objects (src/Tracking.cc:704-748); 8 covers
+    # the long multi-mover scenes (io/synth circuit/avenue) with margin —
+    # the vmapped object ensemble scales linearly in K (PERF.md), so
+    # raise/lower to trade device time for capacity
+    k_obj_max: int = 8
     # per-object gather size for the motion solvers: close KITTI objects
     # carry ~3k dense samples at step 4, so 4096 keeps effectively all of
     # them while halving the padded-solver work
     n_per_obj_max: int = 4096
+    # slots actually SOLVED per frame (0 = all k_obj_max).  The vmapped
+    # ensemble solve is the dominant device cost and scales linearly in
+    # the batch; association/bookkeeping capacity stays k_obj_max while
+    # the solve batch covers the top-k populated labels — empty slots
+    # solve to identity anyway, so k_obj_solve >= concurrent movers is
+    # lossless.  Keeps K=8 slot capacity at 0.75x the K=8 device
+    # cost; the long-scene fixtures peak at 5 concurrent estimable movers.
+    k_obj_solve: int = 6
 
 
 @dataclasses.dataclass(frozen=True)
@@ -273,6 +284,15 @@ class BackendConfig:
     joint_w_motion_prior: float = 800.0  # online object-motion prior
     joint_obj_gate_px: float = 1.5    # outlier gate at the online init
     joint_max_corr_m: float = 0.5     # acceptance gate on pose corrections
+    # Post-loop global bundle adjustment (LoopClosing::RunGlobalBundleAdjustment,
+    # src/LoopClosing.cc:647): after an accepted pose-graph correction,
+    # jointly re-optimize ALL keyframe poses + matched landmarks against
+    # the loop constraint (solvers/global_ba, dense-reduced Schur) and
+    # propagate the keyframe deltas to every trajectory row.
+    global_ba_on_loop: bool = True
+    global_ba_iters: int = 25
+    global_ba_max_obs: int = 6        # observations kept per landmark chain
+    global_ba_max_corr_m: float = 2.0  # reject implausibly large corrections
 
 
 @dataclasses.dataclass(frozen=True)

@@ -631,10 +631,12 @@ class KeyframeStore:
             )
             if int(sol.n_inliers) >= min_inliers:
                 return np.asarray(sol.T)
-            if int(jnp.sum(ok)) < int(jnp.sum(res.valid)):
-                # near set too thin for PnP: retry with the full match set
-                # (an ungated pose beats the LOST velocity fallback)
-                sol = pnp.ransac_pnp(key, Xw, uv, res.valid, fx, fy, cx, cy)
+            if int(jnp.sum(ok)) < int(jnp.sum(res.valid & good)):
+                # near set too thin for PnP: retry without the depth gate
+                # (an ungated pose beats the LOST velocity fallback) —
+                # but never with geometry-bad points (mono marks
+                # untriangulated slots bad; their Xw is meaningless)
+                sol = pnp.ransac_pnp(key, Xw, uv, res.valid & good, fx, fy, cx, cy)
                 if int(sol.n_inliers) >= min_inliers:
                     return np.asarray(sol.T)
         return None
@@ -648,9 +650,20 @@ class KeyframeStore:
         trajectory: np.ndarray,     # (M, 4, 4) Tcw of ALL frames so far
         kf_to_traj: List[int],      # trajectory row of each stored keyframe
         fx, fy, cx, cy,
+        fix_scale: bool = True,
+        info: Optional[dict] = None,
     ) -> Tuple[np.ndarray, int]:
         """Sim3-verify the loop and correct the trajectory with a pose-graph
         solve (ComputeSim3 + CorrectLoop/OptimizeEssentialGraph).
+
+        ``fix_scale=False`` is the monocular mode (the reference solves a
+        full Sim3 there, src/LoopClosing.cc:233 mbFixScale): the Sim3
+        scale measures the accumulated monocular scale drift around the
+        loop; it is distributed geometrically along the loop segment's
+        relative translations before the SE(3) pose-graph solve (the role
+        of the reference's Sim3 essential graph).  ``info`` (optional dict)
+        receives {"scale": s, "row_scale": (M,) per-row cumulative scale
+        correction} for the caller's map re-anchoring.
 
         Returns (corrected trajectory, n_inliers); n_inliers 0 => rejected.
         """
@@ -663,19 +676,49 @@ class KeyframeStore:
         Xc_cur = (cur.Tcw[:3, :3] @ cur.Xw.T).T + cur.Tcw[:3, 3]
         Xc_kf_full = (kf.Tcw[:3, :3] @ kf.Xw.T).T + kf.Tcw[:3, 3]
         Xc_kf = Xc_kf_full[np.asarray(res.idx)]
-        good = jnp.asarray(~kf.bad)[res.idx]
+        # both endpoints need trustworthy 3-D (mono marks untriangulated
+        # points bad; RGB-D bad stays empty until culling)
+        good = jnp.asarray(~kf.bad)[res.idx] & jnp.asarray(~cur.bad)
         s3 = sim3.ransac_sim3(
             key, jnp.asarray(Xc_cur), jnp.asarray(Xc_kf.astype(np.float32)),
-            res.valid & good, fx, fy, cx, cy, fix_scale=True,
+            res.valid & good, fx, fy, cx, cy, fix_scale=fix_scale,
         )
         n = int(s3.n_inliers)
         if n < 20:
             return trajectory, 0
-        # loop edge: measured relative pose between cur and the old keyframe
+        M = trajectory.shape[0]
+        i_old_row = kf_to_traj[cand_idx]
+        row_scale = np.ones(M, np.float64)
+        s = float(s3.scale) if not fix_scale else 1.0
+        if not fix_scale and np.isfinite(s) and 0.2 < s < 5.0:
+            # distribute the drift: step i in (i_old, M-1] gets its
+            # relative translation scaled by s^(1/n_steps) so the
+            # cumulative correction at the loop frame equals s
+            n_steps = max(M - 1 - i_old_row, 1)
+            gamma = s ** (1.0 / n_steps)
+            rels = [
+                trajectory[i] @ np.linalg.inv(trajectory[i - 1])
+                for i in range(1, M)
+            ]
+            trajectory = trajectory.copy()
+            c = 1.0
+            for i in range(1, M):
+                if i > i_old_row:
+                    c *= gamma
+                    rels[i - 1] = rels[i - 1].copy()
+                    rels[i - 1][:3, 3] *= gamma
+                row_scale[i] = c
+                trajectory[i] = (rels[i - 1] @ trajectory[i - 1]).astype(
+                    np.float32
+                )
+        if info is not None:
+            info["scale"] = s
+            info["row_scale"] = row_scale
+        # loop edge: measured relative pose between cur and the old
+        # keyframe (scale folded out by the drift distribution above)
         T_rel = np.eye(4, dtype=np.float32)
         T_rel[:3, :3] = np.asarray(s3.R)
         T_rel[:3, 3] = np.asarray(s3.t)
-        M = trajectory.shape[0]
         ij_odo, Z_odo = pose_graph.odometry_edges(jnp.asarray(trajectory))
         i_cur = M - 1
         i_old = kf_to_traj[cand_idx]
@@ -697,3 +740,157 @@ class KeyframeStore:
         )
         out = solve(jnp.asarray(trajectory), ij, Z, w)
         return np.asarray(out.poses), n
+
+    # ------------------------------------------------------------------
+    def global_ba(
+        self,
+        fx, fy, cx, cy, bf,
+        loop_pair: Optional[Tuple[int, int]] = None,
+        max_obs: int = 6,
+        iters: int = 25,
+        match_radius_px: float = 20.0,
+        rel3d: float = 0.05,
+        max_corr_m: float = 2.0,
+    ) -> Optional[Tuple[List[np.ndarray], dict]]:
+        """Full global bundle adjustment over the keyframe graph — the
+        post-loop rung the reference runs in a background thread
+        (LoopClosing::RunGlobalBundleAdjustment, src/LoopClosing.cc:647 ->
+        Optimizer::GlobalBundleAdjustemnt, src/Optimizer.cc:41).
+
+        Landmark identity is built by descriptor matching between
+        consecutive keyframes (+ the accepted ``loop_pair``) with
+        reprojection and 3-D agreement gates, chained transitively
+        (union-find); chains observed by >= 2 keyframes become landmark
+        variables.  All keyframe poses (gauge: the oldest fixed) and
+        landmarks are then jointly optimized by
+        ``solvers.global_ba.solve_global_ba`` (dense-reduced Schur).
+        Call AFTER the pose-graph correction + ``correct_poses`` — the
+        loop constraint enters as the loop pair's shared landmarks.
+
+        Returns (new_Tcw per stored keyframe, stats) and updates the
+        store's poses/points in place; None when rejected (too few
+        keyframes/landmarks, no improvement, or an implausibly large
+        correction)."""
+        from multimot_track_tpu.solvers.global_ba import (
+            GlobalBAParams, solve_global_ba,
+        )
+
+        K = len(self.frames)
+        if K < 3:
+            return None
+        pairs = [(i, i + 1) for i in range(K - 1)]
+        if loop_pair is not None and abs(loop_pair[0] - loop_pair[1]) > 1:
+            pairs.append(tuple(loop_pair))
+
+        # --- correspondence graph over (keyframe, point) nodes ---
+        offsets = np.cumsum([0] + [kf.uv.shape[0] for kf in self.frames])
+        parent = np.arange(offsets[-1])
+
+        def find(a):
+            root = a
+            while parent[root] != root:
+                root = parent[root]
+            while parent[a] != root:
+                parent[a], a = root, parent[a]
+            return root
+
+        n_edges = 0
+        for i, j in pairs:
+            a, b = self.frames[i], self.frames[j]
+            res = matching.match_descriptors(
+                self._dev(a.desc), self._dev(b.desc),
+                jnp.asarray(a.valid & ~a.bad), jnp.asarray(b.valid & ~b.bad),
+            )
+            idx = np.asarray(res.idx)
+            ok = np.asarray(res.valid)
+            # geometric gates (host): reprojection of a's point into b's
+            # view near b's keypoint, and 3-D agreement of the two stored
+            # world points (loose — drift remains after the pose graph)
+            Xb = (b.Tcw[:3, :3] @ a.Xw.T).T + b.Tcw[:3, 3]
+            z = np.maximum(Xb[:, 2], 1e-3)
+            u = fx * Xb[:, 0] / z + cx
+            v = fy * Xb[:, 1] / z + cy
+            duv = np.hypot(u - b.uv[idx][:, 0], v - b.uv[idx][:, 1])
+            d3 = np.linalg.norm(a.Xw - b.Xw[idx], axis=-1)
+            ok = (
+                ok & (Xb[:, 2] > 0.5) & (duv < match_radius_px)
+                & (d3 < np.maximum(rel3d * z, 0.3))
+            )
+            for p in np.nonzero(ok)[0]:
+                ra, rb = find(offsets[i] + p), find(offsets[j] + idx[p])
+                if ra != rb:
+                    parent[rb] = ra
+                    n_edges += 1
+        if n_edges < 50:
+            return None
+
+        # --- chains -> padded observation tables ---
+        groups: dict = {}
+        for k, kf in enumerate(self.frames):
+            good = np.nonzero(kf.valid & ~kf.bad)[0]
+            for p in good:
+                groups.setdefault(find(offsets[k] + p), []).append((k, int(p)))
+        chains = [m for m in groups.values()
+                  if len({k for k, _ in m}) >= 2]
+        if len(chains) < 50:
+            return None
+        L = len(chains)
+        L_pad = ((L + 1023) // 1024) * 1024
+        obs_kf = np.zeros((L_pad, max_obs), np.int32)
+        obs_uv = np.zeros((L_pad, max_obs, 2), np.float32)
+        obs_disp = np.full((L_pad, max_obs), bf / 20.0, np.float32)
+        obs_w = np.zeros((L_pad, max_obs), np.float32)
+        X0 = np.zeros((L_pad, 3), np.float32)
+        X0[:, 2] = 20.0
+        for l, members in enumerate(chains):
+            members = members[:max_obs]
+            acc = np.zeros(3)
+            for o, (k, p) in enumerate(members):
+                kf = self.frames[k]
+                obs_kf[l, o] = k
+                obs_uv[l, o] = kf.uv[p]
+                zc = ((kf.Tcw[:3, :3] @ kf.Xw[p]) + kf.Tcw[:3, 3])[2]
+                obs_disp[l, o] = bf / max(zc, 0.5)
+                obs_w[l, o] = 1.0
+                acc += kf.Xw[p]
+            X0[l] = acc / len(members)
+
+        poses0 = np.stack([kf.Tcw for kf in self.frames]).astype(np.float32)
+        out = solve_global_ba(
+            jnp.asarray(poses0), jnp.asarray(X0), jnp.asarray(obs_kf),
+            jnp.asarray(obs_uv), jnp.asarray(obs_disp), jnp.asarray(obs_w),
+            fx, fy, cx, cy, bf, params=GlobalBAParams(iters=iters),
+        )
+        T_new = np.asarray(out.poses)
+        X_opt = np.asarray(out.X)
+        chi2_init, chi2 = float(out.chi2_init), float(out.chi2)
+        if not np.isfinite(T_new).all() or not np.isfinite(chi2):
+            return None
+        if chi2 > chi2_init:
+            return None
+        corr = max(
+            float(np.linalg.norm((T_new[k] @ np.linalg.inv(poses0[k]))[:3, 3]))
+            for k in range(K)
+        )
+        if corr > max_corr_m:
+            return None
+
+        # --- write back: poses move, unmatched points ride along (their
+        # camera-frame geometry is a per-keyframe measurement), chain
+        # members take the jointly optimized landmark position ---
+        for k, kf in enumerate(self.frames):
+            Xc = (kf.Tcw[:3, :3] @ kf.Xw.T).T + kf.Tcw[:3, 3]
+            Twc_new = np.linalg.inv(T_new[k])
+            kf.Xw = ((Twc_new[:3, :3] @ Xc.T).T + Twc_new[:3, 3]).astype(
+                np.float32
+            )
+            kf.Tcw = T_new[k].astype(np.float32)
+        for l, members in enumerate(chains):
+            for k, p in members[:max_obs]:
+                self.frames[k].Xw[p] = X_opt[l]
+        self._version += 1
+        stats = {
+            "n_landmarks": L, "n_edges": n_edges,
+            "chi2_init": chi2_init, "chi2": chi2, "max_corr_m": corr,
+        }
+        return [kf.Tcw.copy() for kf in self.frames], stats

@@ -1057,7 +1057,8 @@ class MultiMotSystem:
         )
         if n_inl == 0:
             return None
-        corrected = np.asarray(corrected)
+        corrected = np.array(corrected)   # writable copy (solver output is
+        #                                   a read-only device-backed array)
         self.map.camera_poses = [
             np.linalg.inv(T).astype(np.float32) for T in corrected
         ]
@@ -1068,6 +1069,39 @@ class MultiMotSystem:
         self.keyframes.correct_poses(
             [corrected[k.index] for k in self.keyframes.frames]
         )
+        be = self.cfg.backend
+        if be.global_ba_on_loop:
+            # full global BA over the keyframe graph, seeded by the
+            # pose-graph result (the reference's essential-graph-then-GBA
+            # two-step, src/LoopClosing.cc:404-647)
+            kf_rows = [k.index for k in self.keyframes.frames]
+            old_Tcw_kf = [corrected[r].copy() for r in kf_rows]
+            gba = self.keyframes.global_ba(
+                cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                loop_pair=(cand, len(self.keyframes.frames) - 1),
+                max_obs=be.global_ba_max_obs, iters=be.global_ba_iters,
+                max_corr_m=be.global_ba_max_corr_m,
+            )
+            if gba is not None:
+                new_Tcw_kf, _stats = gba
+                # non-keyframe rows follow their anchor keyframe: the
+                # relative pose frame->keyframe is a measurement the GBA
+                # did not touch (the reference corrects non-KF frames the
+                # same way via their reference keyframe)
+                anchor = 0
+                for r in range(corrected.shape[0]):
+                    while (
+                        anchor + 1 < len(kf_rows) and kf_rows[anchor + 1] <= r
+                    ):
+                        anchor += 1
+                    corrected[r] = (
+                        corrected[r]
+                        @ np.linalg.inv(old_Tcw_kf[anchor])
+                        @ new_Tcw_kf[anchor]
+                    ).astype(np.float32)
+                self.map.camera_poses = [
+                    np.linalg.inv(T).astype(np.float32) for T in corrected
+                ]
         if len(corrected) >= 2:
             self._velocity = (
                 corrected[-1] @ np.linalg.inv(corrected[-2])
