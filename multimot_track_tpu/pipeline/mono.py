@@ -38,8 +38,20 @@ class MonoState:
 
 
 class MonoTracker:
+    """Monocular tracker WITH the full backend ladder (the reference mono
+    examples inherit the complete ORB-SLAM2 backend — keyframes, local
+    mapping, loop closing, relocalization — src/System.cc:34-116 spawns
+    LocalMapping/LoopClosing for every sensor): keyframe insertion into a
+    sensor-agnostic KeyframeStore, per-frame local-map refinement (pure
+    reprojection GN — the disparity rows self-disable at z=0),
+    relocalization on PnP failure, and fix_scale=False Sim3 loop closing
+    that measures + redistributes monocular scale drift
+    (src/LoopClosing.cc:233 mbFixScale)."""
+
     def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG, n_kp: int = 1024,
-                 seed: int = 0):
+                 seed: int = 0, enable_backend: bool = True,
+                 keyframe_gap: int = 5, loop_min_matches: int = 40,
+                 loop_min_kf_separation: int = 3):
         self.cfg = cfg
         self.n_kp = n_kp
         self.key = jax.random.PRNGKey(seed)
@@ -47,6 +59,16 @@ class MonoTracker:
         self.poses: List[np.ndarray] = []     # Tcw per frame
         self.initialized = False
         self._frame = 0
+        self.loop_events: List[tuple] = []
+        self.n_relocalizations = 0
+        self.loop_min_matches = loop_min_matches
+        self.loop_min_kf_separation = loop_min_kf_separation
+        if enable_backend:
+            from multimot_track_tpu.pipeline.keyframes import KeyframeStore
+
+            self.keyframes = KeyframeStore(min_gap=keyframe_gap)
+        else:
+            self.keyframes = None
 
     def _frontend(self, gray: np.ndarray):
         g = jnp.asarray(gray)
@@ -131,9 +153,27 @@ class MonoTracker:
             jnp.asarray(pnp_valid), fx, fy, cx, cy,
         )
         Tcw = np.asarray(sol.T)
-        if int(sol.n_inliers) < 12:
+        lost = int(sol.n_inliers) < 12
+        if lost:
             # fallback: constant pose (LOST semantics)
             Tcw = st.Tcw
+        # --- backend ladder (the reference's mono backend,
+        # src/System.cc:34-116): relocalize on LOST, refine vs the map ---
+        if self.keyframes is not None and self.keyframes.frames:
+            if lost:
+                T_reloc = self.keyframes.relocalize(
+                    key, jnp.asarray(desc),
+                    jnp.asarray(uv.astype(np.float32)),
+                    jnp.asarray(valid), fx, fy, cx, cy,
+                )
+                if T_reloc is not None and np.isfinite(T_reloc).all():
+                    Tcw = np.asarray(T_reloc, np.float32)
+                    self.n_relocalizations += 1
+                    lost = False
+            if not lost:
+                T_lm = self._track_local_map(Tcw, uv, desc, valid)
+                if T_lm is not None:
+                    Tcw = T_lm
         # re-triangulate matched pairs for the next frame's structure
         Kmat = np.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
         P1 = Kmat @ np.asarray(st.Tcw)[:3]
@@ -159,4 +199,99 @@ class MonoTracker:
         Xw_vld[idx[persist]] = True
         self.state = MonoState(uv, desc, valid, Xw_cur, Xw_vld, Tcw.astype(np.float32))
         self.poses.append(Tcw.astype(np.float32))
+        if self.keyframes is not None and not lost:
+            self._maybe_keyframe_and_close_loop(
+                uv, desc, valid, Xw_cur, Xw_vld, Tcw.astype(np.float32), key
+            )
         return self.poses[-1]
+
+    # ------------------------------------------------------------------
+    def _track_local_map(self, Tcw, uv, desc, valid,
+                         min_inliers: int = 20, max_corr: float = 0.35,
+                         max_rot_deg: float = 2.0):
+        """Local-map pose refinement (TrackLocalMap for mono): pure
+        reprojection GN against the newest keyframes' triangulated points
+        — z_cur = 0 disables the stereo disparity rows, so the map's own
+        scale anchors the pose (the mechanism that slows scale drift
+        BETWEEN loop closures)."""
+        cam = self.cfg.camera
+        T, n_inl, _ = self.keyframes.track_local_map(
+            np.asarray(Tcw, np.float32),
+            jnp.asarray(uv.astype(np.float32)), jnp.asarray(desc),
+            jnp.asarray(valid), jnp.zeros(uv.shape[0], jnp.float32),
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+            max(cam.bf, 1.0),
+        )
+        if n_inl < min_inliers or not np.isfinite(T).all():
+            return None
+        d = T @ np.linalg.inv(Tcw)
+        if np.linalg.norm(d[:3, 3]) > max_corr:
+            return None
+        ang = np.degrees(
+            np.arccos(np.clip((np.trace(d[:3, :3]) - 1.0) / 2.0, -1.0, 1.0))
+        )
+        if ang > max_rot_deg:
+            return None
+        return T.astype(np.float32)
+
+    def _maybe_keyframe_and_close_loop(self, uv, desc, valid, Xw, Xw_vld,
+                                       Tcw, key):
+        from multimot_track_tpu.pipeline.keyframes import Keyframe
+
+        cam = self.cfg.camera
+        row = len(self.poses) - 1
+        kf = Keyframe(
+            index=row, Tcw=Tcw.copy(), uv=uv.astype(np.float32).copy(),
+            desc=np.asarray(desc).copy(), valid=np.asarray(valid).copy(),
+            Xw=np.asarray(Xw, np.float32).copy(),
+        )
+        # only triangulated points are 3-D consumers (local map/reloc/Sim3)
+        kf.live = np.asarray(valid & Xw_vld)
+        kf.bad = ~kf.live       # untriangulated = geometry untrustworthy
+        if not self.keyframes.maybe_add(kf):
+            return
+        if len(self.keyframes.frames) < 4:
+            return
+        cand = self.keyframes.detect_loop(
+            jnp.asarray(desc), jnp.asarray(valid),
+            min_matches=self.loop_min_matches,
+        )
+        if cand is None:
+            return
+        if (len(self.keyframes.frames) - 1 - cand
+                < self.loop_min_kf_separation):
+            return
+        traj = np.stack(self.poses).astype(np.float32)
+        info = {}
+        corrected, n = self.keyframes.close_loop(
+            key, kf, cand, traj, [k.index for k in self.keyframes.frames],
+            cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=False, info=info,
+        )
+        if n == 0:
+            return
+        corrected = np.asarray(corrected)
+        row_scale = info.get("row_scale", np.ones(len(corrected)))
+        # re-anchor keyframe structure: camera-frame geometry is rescaled
+        # by the row's cumulative drift correction, then moved with the
+        # corrected pose (the mono version of CorrectLoop's map update)
+        for k in self.keyframes.frames:
+            c = float(row_scale[k.index])
+            Xc = (k.Tcw[:3, :3] @ k.Xw.T).T + k.Tcw[:3, 3]
+            Twc_new = np.linalg.inv(corrected[k.index])
+            k.Xw = ((Twc_new[:3, :3] @ (c * Xc).T).T + Twc_new[:3, 3]).astype(
+                np.float32
+            )
+            k.Tcw = corrected[k.index].astype(np.float32)
+        self.keyframes._version += 1
+        # live tracker state follows the newest row's correction
+        st = self.state
+        c = float(row_scale[-1])
+        Xc = (st.Tcw[:3, :3] @ st.Xw.T).T + st.Tcw[:3, 3]
+        Twc_new = np.linalg.inv(corrected[-1])
+        st.Xw = ((Twc_new[:3, :3] @ (c * Xc).T).T + Twc_new[:3, 3]).astype(
+            np.float32
+        )
+        st.Tcw = corrected[-1].astype(np.float32)
+        self.poses = [corrected[i].astype(np.float32) for i in range(len(corrected))]
+        self.loop_events.append((row, self.keyframes.frames[cand].index, n,
+                                 info.get("scale", 1.0)))
