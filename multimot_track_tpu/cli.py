@@ -30,6 +30,12 @@ def main(argv=None):
         help="sequence has image_2/image_3 stereo pairs instead of depth/",
     )
     ap.add_argument(
+        "--quad-stereo", action="store_true",
+        help="with --stereo: gate/overwrite flow correspondences with "
+             "quad-consistent (last-L/R, cur-L/R) descriptor matches "
+             "before the ego solve (ORBmatcher::SearchByQuad role)",
+    )
+    ap.add_argument(
         "--mono", action="store_true",
         help="monocular ego-only odometry from image_0/ grays "
              "(mono_kitti driver role; up-to-scale trajectory + Sim3 ATE)",
@@ -101,7 +107,7 @@ def main(argv=None):
     elif args.stereo:
         from multimot_track_tpu.io.stereo_seq import StereoKittiSequence
 
-        seq = StereoKittiSequence(args.sequence)
+        seq = StereoKittiSequence(args.sequence, quad_gate=args.quad_stereo)
     else:
         seq = get_sequence(args.sequence)
     if args.no_estimate_flow and hasattr(seq, "estimate_flow"):
@@ -164,7 +170,10 @@ def main(argv=None):
             spds = [float(ob.speed_est[s]) for s in np.flatnonzero(active)]
             render.draw_objects(fd.gray, bbs, labs, spds, path=out / f"speed_{i:06d}.png")
 
-    print("\nsummary:", json.dumps(sys_.summary(), indent=2))
+    summary = sys_.summary()
+    if getattr(seq, "quad_gate", False):
+        summary["n_quad_matched"] = int(seq.n_quad_matched)
+    print("\nsummary:", json.dumps(summary, indent=2))
     if out:
         sys_.save_results(out)
         obj_pts = [

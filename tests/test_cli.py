@@ -75,12 +75,15 @@ def test_cli_stereo_images_only(tmp_path):
         [
             sys.executable, "-m", "multimot_track_tpu.cli",
             str(tmp_path), "--cpu", "--stereo", "--discover-objects",
-            "--frames", "3",
+            "--quad-stereo", "--frames", "3",
         ],
         capture_output=True, text=True, timeout=500,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert '"n_frames": 3' in r.stdout
+    # the quad gate ran and verified correspondences in all four views
+    s = json.loads(r.stdout.split("summary:", 1)[1])
+    assert s["n_quad_matched"] > 0, s
 
 
 @pytest.mark.slow
