@@ -407,10 +407,34 @@ def track_pair(
         return H_world, best_n, centre_pre
 
     keys = jax.random.split(k_obj, K)
-    H_world, n_inl, centre_pre = jax.vmap(solve_one)(
-        keys, c_uv, c_flow, c_depth, c_cur_uv, c_Xp, c_xyz, c_mask,
-        c_patch, c_s, mode_last
-    )
+    K_s = cfg.padding.k_obj_solve or K
+    if 0 < K_s < K:
+        # solve only the top-K_s most-populated ACTIVE labels: slot
+        # capacity (association, ids, lifespans) stays K while the
+        # expensive vmapped ensemble runs at batch K_s.  Labels left out
+        # are demoted to inactive (the reference similarly drops objects
+        # rather than degrade the solve, src/Tracking.cc:1447-1529);
+        # empty/inactive slots would solve to identity anyway, so
+        # K_s >= concurrent active movers is lossless.
+        rank = jnp.where(active, count, -1)
+        top_idx = jax.lax.top_k(rank, K_s)[1]
+        sel = lambda a: a[top_idx]
+        H_s, n_s, cpre_s = jax.vmap(solve_one)(
+            sel(keys), sel(c_uv), sel(c_flow), sel(c_depth), sel(c_cur_uv),
+            sel(c_Xp), sel(c_xyz), sel(c_mask), sel(c_patch), sel(c_s),
+            sel(mode_last),
+        )
+        eyeK = jnp.tile(jnp.eye(4, dtype=H_s.dtype), (K, 1, 1))
+        H_world = eyeK.at[top_idx].set(H_s)
+        n_inl = jnp.zeros((K,), n_s.dtype).at[top_idx].set(n_s)
+        centre_pre = jnp.zeros((K, 3), cpre_s.dtype).at[top_idx].set(cpre_s)
+        solved = jnp.zeros((K,), bool).at[top_idx].set(True)
+        active = active & solved
+    else:
+        H_world, n_inl, centre_pre = jax.vmap(solve_one)(
+            keys, c_uv, c_flow, c_depth, c_cur_uv, c_Xp, c_xyz, c_mask,
+            c_patch, c_s, mode_last
+        )
 
     # current-frame world centroid + bbox over all members (Tracking.cc:1694-1902)
     centre3d = jnp.einsum("kn,ni->ki", mf, Xc_w) / jnp.maximum(count[:, None], 1.0)
