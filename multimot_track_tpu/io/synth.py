@@ -105,16 +105,38 @@ def _texture(a, b, seed):
 
 @dataclasses.dataclass
 class Mover:
-    """A textured planar quad, fronto-parallel in world, moving rigidly.
+    """A textured planar quad moving rigidly by translation.
 
     ``centre(t)`` -> (3,) world position of the quad centre at frame t;
-    the quad's local x/y axes stay world-aligned (pure translation is
-    what the scene-flow classifier keys on, src/Tracking.cc:1463)."""
+    the quad's local axes stay FIXED in world (pure translation is what
+    the scene-flow classifier keys on, src/Tracking.cc:1463).  ``axes``
+    is the optional (3, 3) row-stack (e1, e2, n): e1/e2 span the quad,
+    n is its plane normal — None keeps the original world-aligned
+    fronto-parallel quad (n = +z).  ``t0``/``t1`` bound the lifespan
+    (birth/death); the quad only renders inside [t0, t1)."""
 
     centre: callable
     half_w: float
     half_h: float
     seed: int
+    axes: np.ndarray = None
+    t0: float = -1e9
+    t1: float = 1e9
+    # instance-mask label; None = the mover's 1-based position in the
+    # list.  Long sequences recycle labels across non-overlapping
+    # lifespans (the KITTI masks clamp to few labels the same way,
+    # rgbd_tum.cc:335) — overlapping-lifespan movers need distinct labels.
+    label: int = None
+    # multi-panel body: list of (axes (3,3), offset (3,), half_w, half_h)
+    # quads rendered under the same label/motion.  A single fronto-
+    # parallel plane puts every member point at ONE depth — a degenerate
+    # geometry where the 6-DoF motion solve trades rotation against
+    # translation; real vehicles have depth structure.  None = the single
+    # quad defined by axes/half_w/half_h above.
+    panels: list = None
+
+    def alive(self, t: float) -> bool:
+        return self.t0 <= t < self.t1
 
     def L_world(self, t: float) -> np.ndarray:
         T = np.eye(4, dtype=np.float64)
@@ -122,9 +144,18 @@ class Mover:
         return T
 
 
-def _render_frame(cam, Twc, movers, t):
+# world-box scene bounds for long sequences (4 textured walls + ground);
+# None = the original ground + single back-wall scene
+BOX_HALF = 60.0
+
+
+def _render_frame(cam, Twc, movers, t, box: bool = False):
     """Analytic z-buffer render.  Returns (gray, depth_m, label, info)
-    where info[y, x] = (surface id, local a, local b) for flow lookup."""
+    where info[y, x] = (surface id, local a, local b) for flow lookup.
+
+    ``box=True`` encloses the scene in 4 textured walls at +-BOX_HALF so
+    arbitrary ego headings (turns, full loops) always see textured
+    background; the default keeps the original ground + back-wall scene."""
     W, H = cam["width"], cam["height"]
     fx, fy, cx, cy = cam["fx"], cam["fy"], cam["cx"], cam["cy"]
     us, vs = np.meshgrid(np.arange(W), np.arange(H))
@@ -134,61 +165,100 @@ def _render_frame(cam, Twc, movers, t):
     d_w = d_cam @ R.T
     o_w = c0
 
-    GROUND_Y, WALL_Z = 1.5, 40.0
+    GROUND_Y = 1.5
+
+    def plane_hit(n, d0):
+        """Intersect rays with plane n . X = d0; returns ray parameter."""
+        denom = d_w @ np.asarray(n, np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tt = (d0 - float(np.dot(n, o_w))) / denom
+        return np.where((tt > 0.5) & np.isfinite(tt), tt, np.inf)
+
     # ground plane y = GROUND_Y (y grows downward)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t_g = (GROUND_Y - o_w[1]) / d_w[..., 1]
-    t_g = np.where((t_g > 0.5) & np.isfinite(t_g), t_g, np.inf)
-    # back wall z = WALL_Z
-    t_w = (WALL_Z - o_w[2]) / d_w[..., 2]
-    t_w = np.where((t_w > 0.5) & np.isfinite(t_w), t_w, np.inf)
-    t_bg = np.minimum(t_g, t_w)
-    is_ground = t_g <= t_w
+    t_g = plane_hit((0.0, 1.0, 0.0), GROUND_Y)
+    if box:
+        x0, x1, z0, z1 = (
+            (-BOX_HALF, BOX_HALF, -BOX_HALF, BOX_HALF)
+            if box is True else box
+        )
+        walls = [
+            ((0.0, 0.0, 1.0), z1, 29),    # z = z_max
+            ((0.0, 0.0, 1.0), z0, 31),    # z = z_min
+            ((1.0, 0.0, 0.0), x1, 37),    # x = x_max
+            ((1.0, 0.0, 0.0), x0, 41),    # x = x_min
+        ]
+    else:
+        walls = [((0.0, 0.0, 1.0), 40.0, 29)]
+    t_bg = t_g
+    sid = np.zeros(t_g.shape, np.int32)          # 0 = ground
+    for w_i, (n, d0, _) in enumerate(walls, start=1):
+        t_w = plane_hit(n, d0)
+        closer = t_w < t_bg
+        t_bg = np.where(closer, t_w, t_bg)
+        sid = np.where(closer, w_i, sid)
     X_bg = o_w + t_bg[..., None] * d_w
-    a_bg = np.where(is_ground, X_bg[..., 0], X_bg[..., 0])
-    b_bg = np.where(is_ground, X_bg[..., 2], X_bg[..., 1] * 3.0)
-    gray = np.where(
-        is_ground, _texture(a_bg, b_bg, 11), _texture(a_bg, b_bg, 29)
-    )
+    gray = _texture(X_bg[..., 0], X_bg[..., 2], 11)  # ground texture
+    for w_i, (n, d0, seed) in enumerate(walls, start=1):
+        a_w = X_bg[..., 0] + X_bg[..., 2]            # along-wall coordinate
+        gray = np.where(
+            sid == w_i, _texture(a_w, X_bg[..., 1] * 3.0, seed), gray
+        )
     t_buf = t_bg.copy()
     label = np.zeros((H, W), np.int32)
-    a_loc = a_bg.copy()
-    b_loc = b_bg.copy()
+    a_loc = X_bg[..., 0].copy()
+    b_loc = X_bg[..., 2].copy()
 
     for k, mv in enumerate(movers, start=1):
+        if not mv.alive(t):
+            continue
+        k = mv.label if mv.label is not None else k
         cen = mv.centre(t)
-        tq = (cen[2] - o_w[2]) / d_w[..., 2]          # quad plane z = cen_z
-        Xq = o_w + tq[..., None] * d_w
-        a = Xq[..., 0] - cen[0]
-        b = Xq[..., 1] - cen[1]
-        hit = (
-            (tq > 0.5) & (tq < t_buf)
-            & (np.abs(a) < mv.half_w) & (np.abs(b) < mv.half_h)
-        )
-        t_buf = np.where(hit, tq, t_buf)
-        label = np.where(hit, k, label)
-        a_loc = np.where(hit, a, a_loc)
-        b_loc = np.where(hit, b, b_loc)
-        gray = np.where(hit, _texture(a * 9.0, b * 9.0, 100 + mv.seed), gray)
+        if mv.panels is not None:
+            panels = mv.panels
+        elif mv.axes is None:
+            panels = [(
+                np.stack([np.array([1.0, 0, 0]), np.array([0, 1.0, 0]),
+                          np.array([0, 0, 1.0])]),
+                np.zeros(3), mv.half_w, mv.half_h,
+            )]
+        else:
+            panels = [(np.asarray(mv.axes, np.float64), np.zeros(3),
+                       mv.half_w, mv.half_h)]
+        for p_i, (axes_p, off_p, hw, hh) in enumerate(panels):
+            e1, e2, n = np.asarray(axes_p, np.float64)
+            cen_p = cen + np.asarray(off_p, np.float64)
+            denom = d_w @ n
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tq = float(np.dot(n, cen_p - o_w)) / denom
+            Xq = o_w + tq[..., None] * d_w
+            a = (Xq - cen_p) @ e1
+            b = (Xq - cen_p) @ e2
+            hit = (
+                (tq > 0.5) & np.isfinite(tq) & (tq < t_buf)
+                & (np.abs(a) < hw) & (np.abs(b) < hh)
+            )
+            t_buf = np.where(hit, tq, t_buf)
+            label = np.where(hit, k, label)
+            a_loc = np.where(hit, a, a_loc)
+            b_loc = np.where(hit, b, b_loc)
+            gray = np.where(
+                hit, _texture(a * 9.0, b * 9.0, 100 + mv.seed + 7 * p_i), gray
+            )
 
-    # depth = z-coordinate in CAMERA frame (t_buf is distance along d_w
-    # whose camera-frame z-component is 1, so depth == t_buf exactly)
+    # depth = z-coordinate in CAMERA frame: t_buf is the parameter along
+    # d_w whose CAMERA-frame direction has z-component exactly 1 (rays are
+    # built as (x/fx, y/fy, 1)), so depth == t_buf for any world rotation
     depth_m = t_buf
     return gray, depth_m, label, (a_loc, b_loc)
 
 
 def make_multimover_frames(movers=None, n_frames: int = 8, cam=None,
                            ego_step: float = 0.3):
-    """Render a multi-mover sequence; returns (frames, camera_config).
+    """Render a multi-mover sequence; returns the FrameData list.
 
     frames are io.kitti.FrameData records (in-memory, no disk) with exact
     analytic depth, dense forward flow, instance masks, GT ego pose and
     GT camera-frame object poses."""
-    from multimot_track_tpu.io.kitti import FrameData
-
-    cam = dict(SYNTH_CAM) if cam is None else cam
-    W, H = cam["width"], cam["height"]
-    fx, fy, cx, cy, bf = cam["fx"], cam["fy"], cam["cx"], cam["cy"], cam["bf"]
     if movers is None:
         movers = default_movers()
 
@@ -197,8 +267,20 @@ def make_multimover_frames(movers=None, n_frames: int = 8, cam=None,
         T[2, 3] = ego_step * t       # forward along +z
         return T
 
+    return _build_frames(cam or dict(SYNTH_CAM), Twc_at, movers, n_frames,
+                         box=False)
+
+
+def _build_frames(cam, Twc_at, movers, n_frames, box: bool):
+    """Shared renderer loop: analytic frames with exact depth / dense
+    forward flow / instance masks / GT ego + camera-frame object poses."""
+    from multimot_track_tpu.io.kitti import FrameData
+
+    W, H = cam["width"], cam["height"]
+    fx, fy, cx, cy, bf = cam["fx"], cam["fy"], cam["cx"], cam["cy"], cam["bf"]
     rendered = [
-        _render_frame(cam, Twc_at(t), movers, t) for t in range(n_frames)
+        _render_frame(cam, Twc_at(t), movers, t, box=box)
+        for t in range(n_frames)
     ]
     frames = []
     for t in range(n_frames):
@@ -216,6 +298,9 @@ def make_multimover_frames(movers=None, n_frames: int = 8, cam=None,
             X_w = X_cam @ R.T + c0
             X_w1 = X_w.copy()
             for k, mv in enumerate(movers, start=1):
+                if not mv.alive(t):
+                    continue
+                k = mv.label if mv.label is not None else k
                 step = mv.centre(t + 1) - mv.centre(t)   # pure translation
                 X_w1 = np.where((label == k)[..., None], X_w + step, X_w1)
             Twc1 = Twc_at(t + 1)
@@ -227,6 +312,9 @@ def make_multimover_frames(movers=None, n_frames: int = 8, cam=None,
 
         ids, Ls, bbs = [], [], []
         for k, mv in enumerate(movers, start=1):
+            if not mv.alive(t):
+                continue
+            k = mv.label if mv.label is not None else k
             m = label == k
             if m.sum() == 0:
                 continue
@@ -273,3 +361,182 @@ def default_movers():
         # 6: slow mover in the left lane toward the camera
         Mover(lambda t: np.array([-2.6, 0.4, 16.0 - 0.6 * t]), 1.1, 0.8, 6),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Long multi-scene sequences (reference-scale evaluation: the reference
+# driver tracks arbitrary-length KITTI sequences,
+# Examples/RGB-D/rgbd_tum.cc:115-189, and BASELINE.md targets name the
+# full KITTI tracking benchmark).  Both scenes render at EXACTLY the
+# kitti03.yaml camera so every device program compiled for kitti_sample
+# is reused verbatim.
+
+KITTI_SYNTH_CAM = dict(fx=721.5377, fy=721.5377, cx=609.5593, cy=172.8540,
+                       bf=387.5744, width=1242, height=375, fps=10.0)
+
+
+def _path_poses(positions):
+    """Twc per frame from a smooth position sequence; heading follows the
+    path tangent (yaw about y only — a ground vehicle)."""
+    n = len(positions)
+    poses = []
+    for t in range(n):
+        d = positions[min(t + 1, n - 1)] - positions[max(t - 1, 0)]
+        yaw = float(np.arctan2(d[0], d[2]))
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4, dtype=np.float64)
+        T[:3, :3] = np.asarray([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+        T[:3, 3] = positions[t]
+        poses.append(T)
+    return poses
+
+
+def _facing_axes(n_dir):
+    """Quad axes (e1 horizontal, e2 = +y, n) for a plane facing ``n_dir``."""
+    n = np.asarray(n_dir, np.float64).copy()
+    n[1] = 0.0
+    n /= max(np.linalg.norm(n), 1e-9)
+    e1 = np.array([n[2], 0.0, -n[0]])
+    e2 = np.array([0.0, 1.0, 0.0])
+    return np.stack([e1, e2, n])
+
+
+def vee_panels(n_dir, half_w, half_h, angle_deg: float = 35.0):
+    """Two half-width quads hinged along the vertical line through the
+    mover centre, each yawed +-angle_deg from the facing direction — a
+    'vehicle corner' body.  The across-face depth variation
+    (half_w * sin(angle)) conditions the 6-DoF motion solve: a single
+    fronto-parallel plane puts every point at one depth, where rotation
+    and translation trade off freely (measured ~20%% t-RPE on the flat
+    lead-car quad vs <10%% with structure)."""
+    n = np.asarray(n_dir, np.float64).copy()
+    n[1] = 0.0
+    n /= max(np.linalg.norm(n), 1e-9)
+    out = []
+    for s in (+1.0, -1.0):
+        a = np.deg2rad(angle_deg) * s
+        c, si = np.cos(a), np.sin(a)
+        Ry = np.array([[c, 0.0, si], [0.0, 1.0, 0.0], [-si, 0.0, c]])
+        n_p = Ry @ n
+        e1 = np.array([n_p[2], 0.0, -n_p[0]])
+        e2 = np.array([0.0, 1.0, 0.0])
+        out.append((np.stack([e1, e2, n_p]), s * (half_w / 2.0) * e1,
+                    half_w / 2.0, half_h))
+    return out
+
+
+def make_circuit_frames(n_frames: int = 220, radius: float = 28.0,
+                        cam=None):
+    """Closed circular circuit with a genuine revisit (loop-closure proof
+    at scale): the ego drives one full lap + 8% overlap, so the tail
+    re-observes the head's scenery from the same poses.  Continuous
+    turning (full 360 deg of yaw), a lead vehicle (as 4 lifespan segments
+    so each fixed-orientation quad stays near face-on), oncoming traffic
+    on the inner ring and radial crossers — 9 mover lifespans, <= 5
+    concurrent."""
+    cam = dict(KITTI_SYNTH_CAM) if cam is None else cam
+    w = 2.0 * np.pi * 1.08 / n_frames          # rad/frame, 8% overlap
+    th = lambda t: w * t
+
+    def on_circle(r, theta):
+        return np.array([r * np.sin(theta), 0.15, -r * np.cos(theta)])
+
+    positions = [on_circle(radius, th(t)) for t in range(n_frames)]
+    positions = [p - np.array([0.0, 0.15, 0.0]) for p in positions]
+
+    def tangent(theta):
+        return np.array([np.cos(theta), 0.0, np.sin(theta)])
+
+    movers = []
+    # lead vehicle: 0.35 rad (~10 m) ahead at the ego's angular speed, in
+    # 4 orientation segments (ONE physical vehicle -> one label; only the
+    # fixed quad orientation refreshes between segments)
+    seg = n_frames // 4
+    for s in range(4):
+        mid = th((s + 0.5) * seg + 0.35 / w)
+        movers.append(Mover(
+            centre=lambda t, r=radius - 0.5: on_circle(r, th(t) + 0.35),
+            half_w=1.1, half_h=0.8, seed=10 + s,
+            panels=vee_panels(-tangent(mid), 1.1, 0.8),
+            t0=s * seg, t1=min((s + 1) * seg, n_frames), label=1,
+        ))
+    # oncoming traffic on the inner ring (opposite direction), staggered;
+    # lifespans can overlap pairwise -> distinct labels
+    for i, phi0 in enumerate((1.2, 2.6, 4.2)):
+        w_m = -1.3 * w
+        t_meet = phi0 / (w - w_m)      # ego meets it around this frame
+        mid = th(t_meet) + 0.0
+        movers.append(Mover(
+            centre=lambda t, p=phi0, wm=w_m: on_circle(radius - 4.0, p + wm * t),
+            half_w=1.0, half_h=0.75, seed=20 + i,
+            panels=vee_panels(tangent(mid), 1.0, 0.75),
+            t0=max(0, t_meet - 30), t1=min(n_frames, t_meet + 18),
+            label=2 + i,
+        ))
+    # radial crossers at fixed stations, timed to the ego's arrival
+    for i, frac in enumerate((0.3, 0.62, 0.85)):
+        t_arr = frac * n_frames
+        station = th(t_arr + 12)
+        movers.append(Mover(
+            centre=lambda t, s=station, ta=t_arr: (
+                on_circle(radius + 6.0 - 0.45 * (t - (ta - 15)), s)
+            ),
+            half_w=0.9, half_h=0.8, seed=30 + i,
+            axes=_facing_axes(-tangent(station)),
+            t0=t_arr - 15, t1=t_arr + 25, label=5 + i,
+        ))
+    b = radius + 25.0
+    poses = _path_poses(positions)
+    return _build_frames(cam, lambda t: poses[t], movers,
+                         n_frames, box=(-b, b, -b - 2.0, b + 2.0))
+
+
+def make_avenue_frames(n_frames: int = 240, cam=None):
+    """Long straight-ish avenue with S-curves: 180 m of travel, lead +
+    oncoming + crossing traffic — 10 mover lifespans, <= 6 concurrent.
+    Exercises sustained forward odometry with heading changes and
+    repeated mover birth/death at KITTI resolution."""
+    cam = dict(KITTI_SYNTH_CAM) if cam is None else cam
+    v = 0.75
+    amp, period = 2.5, 120.0
+    positions = [
+        np.array([amp * np.sin(2 * np.pi * t / period), 0.0, v * t])
+        for t in range(n_frames)
+    ]
+
+    movers = [
+        # lead vehicle in the right lane, same direction, slightly slower —
+        # stays 8-20 m ahead for the whole run
+        Mover(
+            centre=lambda t: np.array([2.2, 0.25, 12.0 + 0.72 * t]),
+            half_w=1.1, half_h=0.8, seed=50,
+            panels=vee_panels((0.0, 0.0, -1.0), 1.1, 0.8), label=1,
+        )
+    ]
+    # oncoming traffic in the left lane, staggered down the avenue
+    for i in range(4):
+        z0 = 55.0 + 62.0 * i
+        t_meet = z0 / (v + 0.95)
+        movers.append(Mover(
+            centre=lambda t, z=z0: np.array([-2.8, 0.2, z - 0.95 * t]),
+            half_w=1.0, half_h=0.75, seed=60 + i,
+            panels=vee_panels((0.0, 0.0, 1.0), 1.0, 0.75),
+            t0=max(0.0, t_meet - 32), t1=t_meet + 6, label=2 + i % 2,
+        ))
+    # crossers at stations along the road (left -> right), timed to ego
+    for i in range(4):
+        z_st = 45.0 + 48.0 * i
+        t_arr = (z_st - 12.0) / v
+        movers.append(Mover(
+            centre=lambda t, z=z_st, ta=t_arr: np.array(
+                [-9.0 + 0.55 * (t - (ta - 10)), 0.3, z]
+            ),
+            half_w=0.9, half_h=0.8, seed=70 + i,
+            axes=_facing_axes((0.0, 0.0, -1.0)),
+            t0=t_arr - 10, t1=t_arr + 28, label=4 + i % 2,
+        ))
+    poses = _path_poses(positions)
+    return _build_frames(
+        cam, lambda t: poses[t], movers, n_frames,
+        box=(-40.0, 40.0, -20.0, v * n_frames + 60.0),
+    )
