@@ -286,6 +286,31 @@ def pallas_scan_selfcheck(force: bool = False, _pallas_solver=None) -> bool:
     if os.environ.get("MMT_SKIP_PALLAS_SELFCHECK"):
         _SCAN_SELFCHECK = True
         return True
+    # the auto dispatch is usually first reached while TRACING an outer
+    # program (track_pair): jnp ops here would melt into that trace.  Run
+    # the whole check on a worker thread, whose trace stack is clean.
+    # (public jax.core.trace_state_clean was removed on this version;
+    # fall back through the private module, then to a conservative probe)
+    try:
+        from jax._src import core as _core
+
+        clean = _core.trace_state_clean()
+    except Exception:
+        clean = getattr(jax.core, "trace_state_clean", lambda: True)()
+    if not clean:
+        import threading
+
+        box = {}
+
+        def _worker():
+            box["ok"] = pallas_scan_selfcheck(
+                force=force, _pallas_solver=_pallas_solver
+            )
+
+        t = threading.Thread(target=_worker)
+        t.start()
+        t.join()
+        return box.get("ok", False)
     import numpy as np
 
     if _pallas_solver is None:
