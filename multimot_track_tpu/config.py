@@ -293,6 +293,17 @@ class BackendConfig:
     global_ba_iters: int = 25
     global_ba_max_obs: int = 6        # observations kept per landmark chain
     global_ba_max_corr_m: float = 2.0  # reject implausibly large corrections
+    # Pipelined-mode async keyframe cadence: the keyframe-cadence device
+    # work (payload capture, fuse scan, covisibility counts, place-
+    # recognition scores, joint window BA) is DISPATCHED at the keyframe
+    # frame and its results fetched one frame later, when the buffers are
+    # long since ready — the fetches then cost transfer only, never
+    # compute wait.  Corrections apply retroactively through the
+    # cumulative right-factor (the same mechanism every pipelined
+    # refinement rides).  This is the keyframe-cadence analog of the
+    # reference's LocalMapping/LoopClosing background threads
+    # (src/System.cc:92-97).  Ignored in synchronous mode.
+    async_keyframes: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -44,6 +44,14 @@ class ObjMotionErr(NamedTuple):
     speed_est: jnp.ndarray    # km/h
     speed_gt: jnp.ndarray     # km/h
     speed_err_rel: jnp.ndarray  # |est - gt| / gt
+    # centroid-anchored translation error: the motion of the point AT THE
+    # OBJECT, |(t - (I-R) c) - d_gt| / |d_gt|.  The reference's E-metric
+    # translation (t_rel above) anchors at the WORLD ORIGIN, so a small
+    # rotation error couples through an |origin - object| lever arm — on
+    # long trajectories (object tens of metres from origin) that term
+    # dominates and measures anchor distance, not solve quality.
+    t_abs_centred: jnp.ndarray
+    t_rel_centred: jnp.ndarray
 
 
 def object_motion_error(
@@ -67,6 +75,8 @@ def object_motion_error(
         "...ij,...j->...i", jnp.eye(3, dtype=H_est.dtype) - R, centre_pre
     )
     sp_est = jnp.linalg.norm(sp_est_v, axis=-1)
+    d_gt = L_w_c_t - L_w_p_t
+    t_cen = jnp.linalg.norm(sp_est_v - d_gt, axis=-1)
     return ObjMotionErr(
         t_abs=t_abs,
         r_abs=r_abs,
@@ -75,6 +85,8 @@ def object_motion_error(
         speed_est=sp_est * 36.0,   # m/0.1s -> km/h (Tracking.cc:2192)
         speed_gt=sp_gt * 36.0,
         speed_err_rel=jnp.abs(sp_est - sp_gt) / jnp.maximum(sp_gt, 1e-12),
+        t_abs_centred=t_cen,
+        t_rel_centred=t_cen / jnp.maximum(jnp.linalg.norm(d_gt, axis=-1), 1e-12),
     )
 
 

@@ -273,7 +273,15 @@ def make_multimover_frames(movers=None, n_frames: int = 8, cam=None,
 
 def _build_frames(cam, Twc_at, movers, n_frames, box: bool):
     """Shared renderer loop: analytic frames with exact depth / dense
-    forward flow / instance masks / GT ego + camera-frame object poses."""
+    forward flow / instance masks / GT ego + camera-frame object poses.
+
+    The EMITTED ground-truth world is re-anchored at frame 0 (first
+    camera = identity) — the reference convention every KITTI sequence
+    follows, and the frame the live system estimates in.  Without this,
+    world-frame motion comparisons (H vs H_gt) are conjugated by the
+    first pose's rotation: a circuit starting with a 90-deg heading
+    rotates every GT object translation by 90 deg relative to the
+    estimate.  Rendering still uses the generator's raw world."""
     from multimot_track_tpu.io.kitti import FrameData
 
     W, H = cam["width"], cam["height"]
@@ -282,6 +290,7 @@ def _build_frames(cam, Twc_at, movers, n_frames, box: bool):
         _render_frame(cam, Twc_at(t), movers, t, box=box)
         for t in range(n_frames)
     ]
+    G0 = np.linalg.inv(Twc_at(0))      # gt-world -> frame-0-anchored world
     frames = []
     for t in range(n_frames):
         gray, depth_m, label, (a_loc, b_loc) = rendered[t]
@@ -331,7 +340,7 @@ def _build_frames(cam, Twc_at, movers, n_frames, box: bool):
                 depth_raw=(bf * 256.0 / np.maximum(depth_m, 0.5)).astype(np.float32),
                 flow=flow,
                 sem_mask=label,
-                pose_gt=Twc.astype(np.float32),
+                pose_gt=(G0 @ Twc).astype(np.float32),
                 obj_ids_gt=np.asarray(ids, np.int32),
                 obj_poses_gt=(
                     np.stack(Ls) if Ls else np.zeros((0, 4, 4), np.float32)

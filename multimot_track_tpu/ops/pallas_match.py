@@ -59,7 +59,7 @@ def _kernel(desc_a_ref, uv_a_ref, va_ref, desc_bt_ref, uv_b_ref, vb_ref,
     idx_ref[:] = bidx
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_match_projected(
     desc_a: jnp.ndarray,   # (N, 256) int8 sign form
     uv_pred: jnp.ndarray,  # (N, 2)

@@ -494,6 +494,35 @@ class KeyframeStore:
             jnp.asarray(np.stack([kf.valid & kf.live for kf in prevs])),
             fx, fy, cx, cy, width, height, radius, rel3d,
         ))
+        return self.apply_fuse(packed, prevs, new,
+                               cull_min_seen=cull_min_seen,
+                               cull_ratio=cull_ratio)
+
+    def dispatch_fuse(self, Tcw_new, desc_new, uv_new, valid_new, Xw_new,
+                      fx, fy, cx, cy, width, height,
+                      n_prev: int = 4, radius: float = 6.0,
+                      rel3d: float = 0.02):
+        """Async half of :meth:`fuse_and_cull`: dispatch the fuse scan of a
+        NOT-YET-ADDED keyframe's device arrays against the newest stored
+        keyframes; returns (device handle, prevs list) — fetch later and
+        feed :meth:`apply_fuse` (the new keyframe must be added first)."""
+        prevs = self.frames[-n_prev:]
+        if not prevs or len(
+            {kf.desc.shape[0] for kf in prevs} | {int(desc_new.shape[0])}
+        ) != 1:
+            return None, []
+        handle = _fuse_scan(
+            Tcw_new, desc_new, uv_new, valid_new, Xw_new,
+            jnp.stack([self._dev(kf.Xw) for kf in prevs]),
+            jnp.stack([self._dev(kf.desc) for kf in prevs]),
+            jnp.asarray(np.stack([kf.valid & kf.live for kf in prevs])),
+            fx, fy, cx, cy, width, height, radius, rel3d,
+        )
+        return handle, prevs
+
+    def apply_fuse(self, packed, prevs, new,
+                   cull_min_seen: int = 3, cull_ratio: float = 0.25):
+        """Host bookkeeping of a fetched fuse scan (see fuse_and_cull)."""
         dup = packed[0].astype(bool)
         in_view = packed[1].astype(bool)
         idx = packed[2]
@@ -523,7 +552,7 @@ class KeyframeStore:
         """Total live map points across the store (lifecycle observability)."""
         return int(sum((kf.valid & kf.live).sum() for kf in self.frames))
 
-    def cull_redundant(self, overlap: float = 0.9) -> int:
+    def cull_redundant(self, overlap: float = 0.9, counts=None) -> int:
         """Drop keyframes ~fully covisible with both neighbours
         (LocalMapping::KeyFrameCulling's 90% redundancy rule).  Returns the
         number culled.
@@ -536,11 +565,14 @@ class KeyframeStore:
         K = len(self.frames)
         if K < 3:
             return 0
-        stacked = self._stacked_descriptors()
-        if stacked is not None:
-            c = np.asarray(_adjacent_match_counts(*stacked)[: K - 1])
-        else:  # heterogeneous store (test-built): per-pair fallback
-            c = np.asarray([self.covisibility(k, k + 1) for k in range(K - 1)])
+        if counts is not None:          # async path: precomputed weights
+            c = np.asarray(counts)[: K - 1]
+        else:
+            stacked = self._stacked_descriptors()
+            if stacked is not None:
+                c = np.asarray(_adjacent_match_counts(*stacked)[: K - 1])
+            else:  # heterogeneous store (test-built): per-pair fallback
+                c = np.asarray([self.covisibility(k, k + 1) for k in range(K - 1)])
         drop = []
         k = 1
         while k < K - 1:
@@ -873,6 +905,24 @@ class KeyframeStore:
             for k in range(K)
         )
         if corr > max_corr_m:
+            return None
+        # relative-pose preservation: GBA must REFINE, not restructure —
+        # adjacent odometry is the most reliable constraint in the system,
+        # and a solution that rewrites it wholesale means the landmark
+        # chains were wrong (aliased/repetitive texture can produce
+        # descriptor chains that pass the loose 3-D gate yet correspond to
+        # different physical points; minimizing their reprojection then
+        # warps the trajectory)
+        rel_changes = []
+        for k in range(K - 1):
+            rel_old = poses0[k + 1] @ np.linalg.inv(poses0[k])
+            rel_new = T_new[k + 1] @ np.linalg.inv(T_new[k])
+            rel_changes.append(
+                float(np.linalg.norm((rel_new @ np.linalg.inv(rel_old))[:3, 3]))
+            )
+        if rel_changes and (
+            np.median(rel_changes) > 0.10 or max(rel_changes) > 0.5
+        ):
             return None
 
         # --- write back: poses move, unmatched points ride along (their

@@ -82,6 +82,10 @@ class ObjectRecord:
     t_rpe_rel: float
     r_rpe_rel: float
     speed_err_rel: float
+    # centroid-anchored translation error — lever-free (eval/metrics.py
+    # ObjMotionErr.t_rel_centred); the E-metric t_rpe_rel above couples a
+    # rotation error through the |world origin - object| distance
+    t_rpe_centred: float
     n_points: int
     n_inliers: int
     centre3d: np.ndarray
@@ -151,6 +155,8 @@ class MultiMotSystem:
             raise ValueError("pipelined mode requires backend.fused_refine")
         self._pending = None
         self._flush_buffer: List = []  # results drained by auto-flush, not yet returned
+        self._kf_async = None          # deferred keyframe-cadence bundle
+        self._last_kf_index = None
         self._corr = np.eye(4, dtype=np.float32)
         self.key = jax.random.PRNGKey(seed)
         self.map = MapState()
@@ -423,7 +429,11 @@ class MultiMotSystem:
             self._pending = None
             if result is not None:
                 self._flush_buffer.append(result)
+            if self._kf_async is not None:
+                self._consume_kf_async(None)
             return result
+        if self._kf_async is not None:
+            self._consume_kf_async(None)
         return None
 
     def _dispatch_refine(self, pend):
@@ -520,6 +530,11 @@ class MultiMotSystem:
         K = cfg.padding.k_obj_max
         fd = pend["fd"]
         frame_idx = pend["frame_idx"]
+        # deferred keyframe-cadence bundle from the PREVIOUS keyframe
+        # frame: buffers are ready, the fetch costs transfer only; its
+        # retroactive corrections update pend["corr"]/anchors in place
+        if self._kf_async is not None:
+            self._consume_kf_async(pend)
         corr = pend["corr"]
         use_lm, use_win = pend["use_lm"], pend["use_win"]
         win_after, Twc0_h = pend["win_after"], pend["Twc0_h"]
@@ -656,7 +671,18 @@ class MultiMotSystem:
                             refined_last @ self.map.camera_poses[-2]
                         ).astype(np.float32)
                         _fix_ctx(T_velocity=self._velocity)
-        if self.enable_keyframes and self.state == self.STATE_OK:
+        if (
+            self.enable_keyframes
+            and self.state == self.STATE_OK
+            and self.pipelined
+            and be.async_keyframes
+        ):
+            # async keyframe cadence: dispatch everything now, consume at
+            # the next drain (fetches then cost transfer only)
+            self._dispatch_kf_cadence(
+                pend, np.asarray(result.Tcw_cur), frame_idx
+            )
+        elif self.enable_keyframes and self.state == self.STATE_OK:
             # after _record so the keyframe's trajectory row exists; a
             # successful loop closure rewrites the recorded trajectory
             added = self._maybe_add_keyframe(
@@ -786,6 +812,170 @@ class MultiMotSystem:
         if ang > be.local_map_max_rot_deg:
             return None
         return T.astype(np.float32)
+
+    # ------------------------------------------------------------------
+    # Async keyframe cadence (pipelined mode, BackendConfig.async_keyframes):
+    # all keyframe-cadence device work is dispatched at the keyframe frame
+    # and consumed ONE FRAME LATER, when the buffers are ready — fetches
+    # cost transfer only.  Retroactive corrections ride the cumulative
+    # right-factor exactly like the per-frame refinements.
+
+    def _dispatch_kf_cadence(self, pend, Tcw_cur: np.ndarray, frame_idx: int):
+        from multimot_track_tpu.pipeline.keyframes import (
+            _adjacent_match_counts, _batched_match_counts,
+        )
+
+        cam, be = self.cfg.camera, self.cfg.backend
+        last = self._last_kf_index
+        if self.keyframes.frames:
+            last = max(
+                last if last is not None else -10**9,
+                self.keyframes.frames[-1].index,
+            )
+        if last is not None and frame_idx - last < self.keyframes.min_gap:
+            return
+        feats = (
+            pend["feats"] if pend["feats"] is not None
+            else self._frame_features(pend["fd"])
+        )
+        uv, desc, valid, z = feats
+        Twc = np.linalg.inv(Tcw_cur).astype(np.float32)
+        bits_h, f32_h = _keyframe_payload(
+            uv, desc, valid, z, jnp.asarray(Twc),
+            cam.fx, cam.fy, cam.cx, cam.cy,
+        )
+        n = int(desc.shape[0])
+        # device-side views of the payload feed the fuse scan — no fetch
+        uv_dev = f32_h[: 2 * n].reshape(n, 2)
+        Xw_dev = f32_h[2 * n : 5 * n].reshape(n, 3)
+        valid_dev = f32_h[5 * n :] > 0.5
+        fuse_handle, fuse_prevs = self.keyframes.dispatch_fuse(
+            jnp.asarray(np.asarray(Tcw_cur, np.float32)), desc, uv_dev,
+            valid_dev, Xw_dev,
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+        )
+        sim_handle = adj_handle = None
+        stacked = self.keyframes._stacked_descriptors()
+        if stacked is not None:
+            sim_handle = _batched_match_counts(desc, valid, *stacked)
+            adj_handle = _adjacent_match_counts(*stacked)
+        joint = None
+        if be.joint_window_refine:
+            joint = self._refine_joint_window(dispatch_only=True)
+        self._kf_async = dict(
+            frame_idx=frame_idx,
+            Tcw=np.asarray(Tcw_cur, np.float32).copy(),
+            bits=bits_h, f32=f32_h, n=n,
+            fuse=fuse_handle, fuse_prevs=fuse_prevs,
+            sim=sim_handle, adj=adj_handle,
+            n_old=len(self.keyframes.frames),
+            # score index -> keyframe OBJECT (store membership can churn
+            # between dispatch and consume: eviction, redundancy culling)
+            frames_ref=list(self.keyframes.frames),
+            joint=joint, key=pend["key"],
+        )
+        self._last_kf_index = frame_idx
+
+    def _apply_right_factor(self, D: np.ndarray, pend, first_row: int):
+        """Fold a retroactive Tcw right-factor correction (rows >=
+        ``first_row`` move as Tcw @ D) into the recorded trajectory, the
+        pipelined correction chain, and the in-flight frame's anchors."""
+        D = D.astype(np.float32)
+        Dinv = np.linalg.inv(D).astype(np.float32)
+        for r in range(first_row, len(self.map.camera_poses)):
+            # camera_poses stores Twc; Tcw @ D  ==  inv(D) @ Twc
+            self.map.camera_poses[r] = (
+                Dinv @ self.map.camera_poses[r]
+            ).astype(np.float32)
+        self._corr = (self._corr @ D).astype(np.float32)
+        self._Tcw_last_h = (self._Tcw_last_h @ D).astype(np.float32)
+        if pend is not None:
+            if pend.get("corr") is not None:
+                pend["corr"] = (pend["corr"] @ D).astype(np.float32)
+            if pend.get("Twc0_h") is not None:
+                pend["Twc0_h"] = (Dinv @ pend["Twc0_h"]).astype(np.float32)
+
+    def _consume_kf_async(self, pend):
+        """Fetch + apply one deferred keyframe-cadence bundle (see
+        :meth:`_dispatch_kf_cadence`).  ``pend`` is the frame currently
+        being drained (None at flush)."""
+        from multimot_track_tpu.pipeline.keyframes import Keyframe
+
+        a, self._kf_async = self._kf_async, None
+        cam, be = self.cfg.camera, self.cfg.backend
+        names = [k for k in ("bits", "f32", "fuse", "sim", "adj")
+                 if a[k] is not None]
+        handles = [a[k] for k in names]
+        if a["joint"] is not None:
+            names.append("joint")
+            handles.append(a["joint"][0])
+        fetched = dict(zip(names, jax.device_get(handles)))
+
+        n = a["n"]
+        f32 = np.asarray(fetched["f32"])
+        bits = np.asarray(fetched["bits"])
+        kf = Keyframe(
+            index=a["frame_idx"], Tcw=a["Tcw"],
+            uv=f32[: 2 * n].reshape(n, 2).astype(np.float32),
+            desc=np.unpackbits(bits, axis=-1).astype(np.int8) * 2 - 1,
+            valid=f32[5 * n :] > 0.5,
+            Xw=f32[2 * n : 5 * n].reshape(n, 3).astype(np.float32),
+        )
+        added = self.keyframes.maybe_add(kf)
+        if not added:
+            return
+        K_old = a["n_old"]
+        if "fuse" in fetched and a["fuse_prevs"]:
+            self.keyframes.apply_fuse(
+                np.asarray(fetched["fuse"]), a["fuse_prevs"],
+                self.keyframes.frames[-1],
+            )
+        if "adj" in fetched and "sim" in fetched and K_old >= 1:
+            sim = np.asarray(fetched["sim"])
+            counts = np.concatenate(
+                [np.asarray(fetched["adj"])[: max(K_old - 1, 0)],
+                 sim[K_old - 1 : K_old]]
+            )
+            self.keyframes.cull_redundant(counts=counts)
+        if "joint" in fetched:
+            # object-measurement commit only (see _joint_window_apply)
+            self._joint_window_apply(
+                a["joint"][1], np.asarray(fetched["joint"]),
+                commit_poses=False,
+            )
+        if self.enable_loop_closing and "sim" in fetched and K_old >= 2:
+            # scores vs the pre-add stack minus its newest entry == the
+            # sync path's exclude_last=2 (which also skips the new kf)
+            scores = np.asarray(fetched["sim"])[: K_old - 1]
+            cand = -1
+            if scores.size and int(scores.max()) >= self.loop_min_matches:
+                try:   # membership may have churned since dispatch
+                    cand = self.keyframes.frames.index(
+                        a["frames_ref"][int(scores.argmax())]
+                    )
+                except ValueError:
+                    cand = -1
+            if cand >= 0:
+                if (
+                    len(self.keyframes.frames) - 1 - cand
+                    >= self.loop_min_kf_separation
+                ):
+                    old_last = np.linalg.inv(
+                        self.map.camera_poses[-1]
+                    ).astype(np.float32)
+                    corrected_last = self._maybe_close_loop(
+                        a["key"], a["frame_idx"], cand=cand
+                    )
+                    if corrected_last is not None:
+                        D = (
+                            np.linalg.inv(old_last) @ corrected_last
+                        ).astype(np.float32)
+                        # the ladder already rewrote every row; only the
+                        # chain/anchors still need the fold
+                        self._apply_right_factor(
+                            D, pend,
+                            first_row=len(self.map.camera_poses),
+                        )
 
     def _maybe_add_keyframe(
         self, fd: FrameData, Tcw: np.ndarray, feats=None, frame_idx=None
@@ -941,11 +1131,15 @@ class MultiMotSystem:
             self.map.camera_poses[r] = np.linalg.inv(Tcw_new).astype(np.float32)
         return (poses_out[-1] @ Tcw_abs[0]).astype(np.float32)
 
-    def _refine_joint_window(self) -> Optional[np.ndarray]:
+    def _refine_joint_window(self, dispatch_only: bool = False):
         """Joint ego + multi-object BA over the trailing window at keyframe
         cadence (reference LocalBundleAdjustment, src/Optimizer.cc:3341,
         extended with per-pair object motions under a constant-motion
         prior — the BASELINE "sliding-window multi-object BA" target).
+
+        ``dispatch_only=True`` (async keyframe cadence) returns
+        (device handle, context) without fetching; pair with
+        :meth:`_joint_window_apply`.
 
         Rewrites the window's trajectory rows AND the window records'
         camera-independent object measurements (P_lc), so the refined
@@ -1003,9 +1197,29 @@ class MultiMotSystem:
             self.cfg,
         )
         # one fetch for both outputs (each np.asarray is a tunnel round trip)
-        both = np.asarray(
-            jnp.concatenate([poses_out.reshape(-1), motions_out.reshape(-1)])
-        )
+        handle = jnp.concatenate([poses_out.reshape(-1), motions_out.reshape(-1)])
+        jctx = dict(rows=rows, poses_rel=poses_rel, Tcw0_abs=Tcw_abs[0],
+                    used=used, Wn=Wn, K=K)
+        if dispatch_only:
+            return handle, jctx
+        return self._joint_window_apply(jctx, np.asarray(handle))
+
+    def _joint_window_apply(self, jctx, both,
+                            commit_poses: bool = True) -> Optional[np.ndarray]:
+        """Gates + commits of a fetched joint-window result (see
+        :meth:`_refine_joint_window`); returns the refined Tcw of the
+        window's LAST row or None when rejected.
+
+        ``commit_poses=False`` (async cadence): only the OBJECT
+        measurements (P_lc) are committed.  The ego rows are refreshed by
+        the per-frame window refiner every frame anyway (the joint BA's
+        measured ego impact is neutral — its value is the object
+        refinement, r3 notes in BackendConfig), and a deferred ego commit
+        would fight the in-flight frame's own retroactive row writes."""
+        be = self.cfg.backend
+        Wn, K = jctx["Wn"], jctx["K"]
+        rows, poses_rel = jctx["rows"], jctx["poses_rel"]
+        Tcw0_abs = jctx["Tcw0_abs"]
         poses_out = both[: Wn * 16].reshape(Wn, 4, 4)
         motions_out = both[Wn * 16 :].reshape(Wn - 1, K, 4, 4)
         if not (np.isfinite(poses_out).all() and np.isfinite(motions_out).all()):
@@ -1016,31 +1230,37 @@ class MultiMotSystem:
                 return None
 
         # commit: trajectory rows + refined object measurements
-        for f, r in enumerate(rows):
-            Tcw_new = (poses_out[f] @ Tcw_abs[0]).astype(np.float32)
-            self.map.camera_poses[r] = np.linalg.inv(Tcw_new).astype(np.float32)
-        for (f, k), i in used.items():
+        if commit_poses:
+            for f, r in enumerate(rows):
+                Tcw_new = (poses_out[f] @ Tcw0_abs).astype(np.float32)
+                self.map.camera_poses[r] = np.linalg.inv(Tcw_new).astype(
+                    np.float32
+                )
+        for (f, k), i in jctx["used"].items():
             P_new = (
                 poses_out[f + 1]
                 @ motions_out[f, k]
                 @ np.linalg.inv(poses_out[f])
             )
             self.map.obj_records[i].P_lc = P_new.astype(np.float32)
-        return (poses_out[-1] @ Tcw_abs[0]).astype(np.float32)
+        return (poses_out[-1] @ Tcw0_abs).astype(np.float32)
 
-    def _maybe_close_loop(self, key, frame_idx=None) -> Optional[np.ndarray]:
+    def _maybe_close_loop(self, key, frame_idx=None,
+                          cand=None) -> Optional[np.ndarray]:
         """Loop detection + Sim3 verification + pose-graph correction on the
         newest keyframe (the reference's LoopClosing::Run cycle,
         src/LoopClosing.cc:58-647, run synchronously at keyframe cadence).
+        ``cand`` — precomputed candidate index (async cadence path).
 
         Returns the corrected current Tcw when a loop is accepted."""
         import jax.numpy as jnp
 
         kf = self.keyframes.frames[-1]
-        cand = self.keyframes.detect_loop(
-            jnp.asarray(kf.desc), jnp.asarray(kf.valid),
-            min_matches=self.loop_min_matches,
-        )
+        if cand is None:
+            cand = self.keyframes.detect_loop(
+                jnp.asarray(kf.desc), jnp.asarray(kf.valid),
+                min_matches=self.loop_min_matches,
+            )
         if cand is None:
             return None
         # temporal guard: candidates too close in time are not loops
@@ -1195,6 +1415,7 @@ class MultiMotSystem:
                     t_rpe_rel=float(ob.t_rpe_rel[slot]),
                     r_rpe_rel=float(ob.r_rpe_rel[slot]),
                     speed_err_rel=float(ob.speed_err_rel[slot]),
+                    t_rpe_centred=float(ob.t_rpe_centred[slot]),
                     n_points=int(ob.n_points[slot]),
                     n_inliers=int(ob.n_inliers[slot]),
                     centre3d=np.asarray(ob.centre3d[slot]),

@@ -74,6 +74,7 @@ class ObjectOutputs(NamedTuple):
     t_rpe_rel: jnp.ndarray
     r_rpe_rel: jnp.ndarray
     speed_err_rel: jnp.ndarray
+    t_rpe_centred: jnp.ndarray   # lever-free translation error (metrics.py)
     has_gt: jnp.ndarray
 
 
@@ -505,6 +506,7 @@ def track_pair(
         t_rpe_rel=om.t_rel,
         r_rpe_rel=om.r_rel,
         speed_err_rel=om.speed_err_rel,
+        t_rpe_centred=om.t_rel_centred,
         has_gt=has_gt,
     )
     return PairResult(
@@ -637,6 +639,7 @@ def light_result_spec(cfg: PipelineConfig):
         t_rpe_rel=s((K,)),
         r_rpe_rel=s((K,)),
         speed_err_rel=s((K,)),
+        t_rpe_centred=s((K,)),
         has_gt=s((K,), jnp.bool_),
     )
     return PairResult(

@@ -35,8 +35,8 @@ CFG = dataclasses.replace(
 )
 
 
-def _run(frames):
-    sys_ = MultiMotSystem(CFG, keyframe_gap=4)
+def _run(frames, keyframe_gap=4):
+    sys_ = MultiMotSystem(CFG, keyframe_gap=keyframe_gap)
     for fd in frames:
         sys_.track_rgbd(fd)
     return sys_
@@ -50,7 +50,9 @@ def circuit():
     # leave the revisit >1.5 m off and the synthetic texture's descriptors
     # stop matching across that viewpoint change.
     frames = make_circuit_frames(n_frames=110, radius=28.0, cam=dict(SYNTH_CAM))
-    return frames, _run(frames)
+    # gap-2 keyframes: the revisit must land within ~1 frame of a stored
+    # keyframe for descriptor place recognition to clear min_matches
+    return frames, _run(frames, keyframe_gap=2)
 
 
 @pytest.fixture(scope="module")
@@ -99,9 +101,11 @@ def test_circuit_movers(circuit):
     if lead:
         sp = [r.speed_err_rel for r in lead if np.isfinite(r.speed_err_rel)]
         assert np.median(sp) < 0.08, np.median(sp)
-        assert np.median([r.t_rpe_rel for r in lead]) < 0.40
+        assert np.median([r.t_rpe_centred for r in lead]) < 0.35, (
+            np.median([r.t_rpe_centred for r in lead]))
     assert others, sorted(by_sem)
-    assert np.median([r.t_rpe_rel for r in others]) < 0.15, sorted(by_sem)
+    med_o = np.median([r.t_rpe_centred for r in others])
+    assert med_o < 0.12, (med_o, sorted(by_sem))
 
 
 @pytest.mark.slow
@@ -123,8 +127,10 @@ def test_avenue_ego_and_movers(avenue):
     if lead:
         sp = [r.speed_err_rel for r in lead if np.isfinite(r.speed_err_rel)]
         assert np.median(sp) < 0.08, np.median(sp)
-        assert np.median([r.t_rpe_rel for r in lead]) < 0.40
+        assert np.median([r.t_rpe_centred for r in lead]) < 0.35, (
+            np.median([r.t_rpe_centred for r in lead]))
     assert others, sorted(by_sem)
-    assert np.median([r.t_rpe_rel for r in others]) < 0.15, sorted(by_sem)
+    med_o = np.median([r.t_rpe_centred for r in others])
+    assert med_o < 0.12, (med_o, sorted(by_sem))
     sp_all = [r.speed_err_rel for r in recs if np.isfinite(r.speed_err_rel)]
     assert np.median(sp_all) < 0.25, np.median(sp_all)

@@ -28,9 +28,14 @@ TEST_CFG = dataclasses.replace(
 )
 
 
-def _run(kitti_sample_dir, pipelined):
+def _run(kitti_sample_dir, pipelined, async_kf=False):
     seq = KittiSequence(kitti_sample_dir)
-    s = MultiMotSystem(TEST_CFG, keyframe_gap=1, pipelined=pipelined)
+    cfg = TEST_CFG
+    if not async_kf:
+        cfg = dataclasses.replace(
+            cfg, backend=dataclasses.replace(cfg.backend, async_keyframes=False)
+        )
+    s = MultiMotSystem(cfg, keyframe_gap=1, pipelined=pipelined)
     results = []
     for i in range(len(seq)):
         r = s.track_rgbd(seq.load_frame(i))
@@ -69,3 +74,21 @@ def test_pipelined_matches_sync(kitti_sample_dir):
     assert sa["n_obj_estimates"] == sb["n_obj_estimates"]
     # flush is idempotent; summary auto-flushes
     assert b.flush() is None
+
+
+@pytest.mark.slow
+def test_async_keyframes_quality(kitti_sample_dir):
+    """Async keyframe cadence (dispatch at the keyframe frame, consume one
+    frame later): per-frame RPE must MATCH sync; ATE may differ slightly
+    (the local map lags one keyframe and the joint BA commits only the
+    object measurements — see _joint_window_apply) but stays near the
+    sync value even at the densest cadence (gap=1)."""
+    a, _ = _run(kitti_sample_dir, pipelined=False)
+    c, rc = _run(kitti_sample_dir, pipelined=True, async_kf=True)
+    assert len(rc) == 4
+    sa, sc = a.summary(), c.summary()
+    assert abs(sa["cam_t_rpe_rel_mean"] - sc["cam_t_rpe_rel_mean"]) < 1e-3
+    assert abs(sa["ego_ate_rmse_m"] - sc["ego_ate_rmse_m"]) < 0.02
+    assert sa["n_obj_estimates"] == sc["n_obj_estimates"]
+    # the deferred cadence still added the keyframes
+    assert len(c.keyframes.frames) == len(a.keyframes.frames)
