@@ -83,9 +83,11 @@ class PaddingConfig:
     # the batch; association/bookkeeping capacity stays k_obj_max while
     # the solve batch covers the top-k populated labels — empty slots
     # solve to identity anyway, so k_obj_solve >= concurrent movers is
-    # lossless.  Keeps K=8 slot capacity at 0.75x the K=8 device
-    # cost; the long-scene fixtures peak at 5 concurrent estimable movers.
-    k_obj_solve: int = 6
+    # lossless.  Measured on-chip (KCURVE.json): (8 slots, solve 4) costs
+    # 28.9 ms/pair == the old K=4 program's 28.7, while solve 6 pays
+    # +36%.  The long-scene fixtures peak at ~4 concurrent estimable
+    # movers; raise for denser traffic.
+    k_obj_solve: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,7 +26,7 @@ CFG = dataclasses.replace(
     camera=synth_camera_config(),
     padding=dataclasses.replace(
         DEFAULT_CONFIG.padding, n_static_max=1024, n_obj_pts_max=4096,
-        k_obj_max=8, k_obj_solve=6,
+        k_obj_max=8,
     ),
     solver=dataclasses.replace(
         DEFAULT_CONFIG.solver, ransac_iters=200, cam_lm_iters=60,
