@@ -435,16 +435,19 @@ def vee_panels(n_dir, half_w, half_h, angle_deg: float = 35.0):
 
 
 def make_circuit_frames(n_frames: int = 220, radius: float = 28.0,
-                        cam=None):
+                        cam=None, overlap: float = 0.12):
     """Closed circular circuit with a genuine revisit (loop-closure proof
-    at scale): the ego drives one full lap + 8% overlap, so the tail
+    at scale): the ego drives one full lap + ``overlap`` (default 12%), so the tail
     re-observes the head's scenery from the same poses.  Continuous
     turning (full 360 deg of yaw), a lead vehicle (as 4 lifespan segments
     so each fixed-orientation quad stays near face-on), oncoming traffic
     on the inner ring and radial crossers — 9 mover lifespans, <= 5
     concurrent."""
     cam = dict(KITTI_SYNTH_CAM) if cam is None else cam
-    w = 2.0 * np.pi * 1.08 / n_frames          # rad/frame, 8% overlap
+    # ``overlap``: lap fraction re-driven past the start — sets how many
+    # keyframes re-observe the head (the loop-consistency gate needs
+    # several consecutive revisit detections)
+    w = 2.0 * np.pi * (1.0 + overlap) / n_frames   # rad/frame
     th = lambda t: w * t
 
     def on_circle(r, theta):

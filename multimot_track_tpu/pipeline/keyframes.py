@@ -684,6 +684,7 @@ class KeyframeStore:
         fx, fy, cx, cy,
         fix_scale: bool = True,
         info: Optional[dict] = None,
+        max_corr_frac: float = 0.2,
     ) -> Tuple[np.ndarray, int]:
         """Sim3-verify the loop and correct the trajectory with a pose-graph
         solve (ComputeSim3 + CorrectLoop/OptimizeEssentialGraph).
@@ -771,7 +772,25 @@ class KeyframeStore:
             else pose_graph.optimize_pose_graph_cg
         )
         out = solve(jnp.asarray(trajectory), ij, Z, w)
-        return np.asarray(out.poses), n
+        corrected = np.asarray(out.poses)
+        # drift-plausibility gate: the correction a genuine loop applies
+        # is bounded by the odometry drift accumulated around the loop —
+        # a correction comparable to the PATH LENGTH itself means the
+        # candidate was a repetitive-texture false positive whose Sim3
+        # happened to verify (measured on the self-similar avenue scene:
+        # false loops implied 20-100 m corrections over similar paths)
+        pos = np.stack([np.linalg.inv(T)[:3, 3] for T in trajectory])
+        path = float(
+            np.sum(np.linalg.norm(np.diff(pos[i_old_row:], axis=0), axis=-1))
+        )
+        corr_mag = float(np.linalg.norm(
+            np.linalg.inv(corrected[-1])[:3, 3] - pos[-1]
+        ))
+        if corr_mag > max(1.0, max_corr_frac * path):
+            if info is not None:
+                info["rejected_implausible"] = corr_mag
+            return trajectory, 0
+        return corrected, n
 
     # ------------------------------------------------------------------
     def global_ba(

@@ -140,7 +140,7 @@ class MultiMotSystem:
                  min_inliers: int = 10, max_lost_frames: int = 5,
                  enable_keyframes: bool = True, keyframe_gap: int = 5,
                  enable_loop_closing: bool = True, loop_min_matches: int = 40,
-                 loop_min_kf_separation: int = 3,
+                 loop_min_kf_separation: int = 3, loop_consistency: int = 3,
                  discover_objects: bool = False,
                  pipelined: bool = False):
         self.cfg = cfg
@@ -198,6 +198,11 @@ class MultiMotSystem:
         self.enable_loop_closing = enable_loop_closing and enable_keyframes
         self.loop_min_matches = loop_min_matches
         self.loop_min_kf_separation = loop_min_kf_separation
+        # consecutive keyframe detections that must agree on one candidate
+        # region before a loop is accepted (the reference's consistency
+        # groups, src/LoopClosing.cc:105-230); 1 = single-shot
+        self.loop_consistency = loop_consistency
+        self._loop_history = []
         if enable_keyframes:
             from multimot_track_tpu.pipeline.keyframes import KeyframeStore
 
@@ -216,6 +221,7 @@ class MultiMotSystem:
             enable_loop_closing=self.enable_loop_closing,
             loop_min_matches=self.loop_min_matches,
             loop_min_kf_separation=self.loop_min_kf_separation,
+            loop_consistency=self.loop_consistency,
             discover_objects=self.discover_objects,
             pipelined=self.pipelined,
         )
@@ -955,11 +961,12 @@ class MultiMotSystem:
                     )
                 except ValueError:
                     cand = -1
-            if cand >= 0:
-                if (
-                    len(self.keyframes.frames) - 1 - cand
-                    >= self.loop_min_kf_separation
-                ):
+            if cand < 0:
+                self._note_loop_candidate(None)
+            else:
+                # separation + consistency + acceptance all live inside
+                # _maybe_close_loop (it notes the candidate history)
+                if True:
                     old_last = np.linalg.inv(
                         self.map.camera_poses[-1]
                     ).astype(np.float32)
@@ -1262,9 +1269,20 @@ class MultiMotSystem:
                 min_matches=self.loop_min_matches,
             )
         if cand is None:
+            self._note_loop_candidate(None)
             return None
         # temporal guard: candidates too close in time are not loops
         if len(self.keyframes.frames) - 1 - cand < self.loop_min_kf_separation:
+            self._note_loop_candidate(None)
+            return None
+        # consecutive-detection consistency (the reference's consistency
+        # groups, LoopClosing::DetectLoop src/LoopClosing.cc:105-230): a
+        # genuine revisit produces the same candidate REGION across
+        # several consecutive keyframes; repetitive-texture false
+        # positives fire at scattered places.  Measured: on a 240-frame
+        # straight avenue with self-similar procedural texture, single-
+        # shot acceptance produced 10 false closures and 39 m of ATE.
+        if not self._note_loop_candidate(self.keyframes.frames[cand].index):
             return None
         cam = self.cfg.camera
         traj_Tcw = np.stack(
@@ -1334,6 +1352,29 @@ class MultiMotSystem:
             )
         )
         return corrected[-1]
+
+    def _note_loop_candidate(self, cand_frame) -> bool:
+        """Track per-keyframe loop candidates; True when at least
+        ``loop_consistency`` of the newest loop_consistency+1 detections
+        agree on one candidate region (one missed detection is tolerated —
+        texture aliasing can blank a single revisit keyframe; scattered
+        false positives still never line up).  The region allowance scales
+        with the keyframe gap because a genuine revisit's candidates
+        advance with the ego."""
+        self._loop_history.append(cand_frame)
+        need = self.loop_consistency
+        if need <= 1:
+            return cand_frame is not None
+        if cand_frame is None:
+            return False
+        h = [x for x in self._loop_history[-(need + 1):] if x is not None]
+        if len(h) < need:
+            return False
+        gap = self.keyframes.min_gap if self.keyframes else 5
+        if max(h) - min(h) > (need + 1) * gap:
+            return False
+        self._loop_history.clear()   # don't re-trigger on the same revisit
+        return True
 
     def _try_relocalize(self, feats, key):
         if not self.enable_keyframes or not (self.keyframes and self.keyframes.frames):
@@ -1445,9 +1486,15 @@ class MultiMotSystem:
             "n_frames": self._frame_idx,
             "cam_t_rpe_rel_mean": float(cam[:, 0].mean()) if len(cam) else None,
             "cam_r_rpe_rel_mean": float(cam[:, 1].mean()) if len(cam) else None,
-            "obj_t_rpe_rel_mean": float(np.mean([o.t_rpe_rel for o in objs])) if objs else None,
-            "obj_r_rpe_rel_mean": float(np.mean([o.r_rpe_rel for o in objs])) if objs else None,
-            "obj_speed_err_rel_mean": float(np.mean([o.speed_err_rel for o in objs])) if objs else None,
+            # nan-aware: a rare non-finite record (degenerate GT pair or a
+            # diverged padded solve) must not poison the aggregates; the
+            # count is surfaced separately
+            "obj_t_rpe_rel_mean": float(np.nanmean([o.t_rpe_rel for o in objs])) if objs else None,
+            "obj_r_rpe_rel_mean": float(np.nanmean([o.r_rpe_rel for o in objs])) if objs else None,
+            "obj_speed_err_rel_mean": float(np.nanmean([o.speed_err_rel for o in objs])) if objs else None,
+            "obj_nonfinite_records": int(sum(
+                not np.isfinite(o.t_rpe_rel) for o in objs
+            )),
             "n_obj_estimates": len(m.obj_records),
             "n_loop_closures": len(m.loop_events),
             "ego_ate_rmse_m": self.ate(),

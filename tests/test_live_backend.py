@@ -44,7 +44,13 @@ def revisit_dir(tmp_path_factory, kitti_sample_dir):
 
 def _run(revisit_dir, enable_lc):
     seq = KittiSequence(revisit_dir)
-    s = MultiMotSystem(TEST_CFG, enable_loop_closing=enable_lc, keyframe_gap=2)
+    # loop_consistency=1: this 9-frame fixture has exactly ONE qualifying
+    # detection (the others fail the temporal-separation guard), so it
+    # exercises the ladder mechanics; the consecutive-detection policy
+    # has its own unit test (test_system_state) and fires on the longer
+    # shuttle/circuit fixtures
+    s = MultiMotSystem(TEST_CFG, enable_loop_closing=enable_lc, keyframe_gap=2,
+                       loop_consistency=1)
     for i in range(len(seq)):
         s.track_rgbd(seq.load_frame(i))
     return s

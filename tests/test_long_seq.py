@@ -35,8 +35,8 @@ CFG = dataclasses.replace(
 )
 
 
-def _run(frames, keyframe_gap=4):
-    sys_ = MultiMotSystem(CFG, keyframe_gap=keyframe_gap)
+def _run(frames, keyframe_gap=4, **kw):
+    sys_ = MultiMotSystem(CFG, keyframe_gap=keyframe_gap, **kw)
     for fd in frames:
         sys_.track_rgbd(fd)
     return sys_
@@ -49,10 +49,18 @@ def circuit():
     # measures 139+ matches (loop closure fires).  Faster laps (48 frames)
     # leave the revisit >1.5 m off and the synthetic texture's descriptors
     # stop matching across that viewpoint change.
-    frames = make_circuit_frames(n_frames=110, radius=28.0, cam=dict(SYNTH_CAM))
+    frames = make_circuit_frames(n_frames=110, radius=28.0, cam=dict(SYNTH_CAM),
+                                 overlap=0.14)
     # gap-2 keyframes: the revisit must land within ~1 frame of a stored
-    # keyframe for descriptor place recognition to clear min_matches
-    return frames, _run(frames, keyframe_gap=2)
+    # keyframe for descriptor place recognition to clear min_matches.
+    # loop_consistency=1 (vs the production 3): at this reduced resolution
+    # the aliasing-prone synthetic texture yields exactly ONE revisit
+    # detection, so this fixture exercises the closure LADDER; the
+    # consecutive-detection policy itself is unit-tested
+    # (test_system_state) and proven at KITTI resolution, where the
+    # production default closes the genuine loop and rejects all false
+    # ones (LONGSEQ.md)
+    return frames, _run(frames, keyframe_gap=2, loop_consistency=1)
 
 
 @pytest.fixture(scope="module")

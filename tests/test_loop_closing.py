@@ -149,8 +149,12 @@ def test_close_loop_corrects_drifted_trajectory():
     )
     store = keyframes.KeyframeStore(min_gap=1)
     store.maybe_add(kf0)
+    # the fixture's drift is deliberately ~100% of the path (the camera
+    # never physically moved), so relax the drift-plausibility gate that
+    # production uses against repetitive-texture false loops
     corrected, n_inl = store.close_loop(
-        jax.random.PRNGKey(0), cur, 0, traj, [0], CAM.fx, CAM.fy, CAM.cx, CAM.cy
+        jax.random.PRNGKey(0), cur, 0, traj, [0], CAM.fx, CAM.fy, CAM.cx, CAM.cy,
+        max_corr_frac=10.0,
     )
     assert n_inl > 20
     # the loop edge ties the last pose back toward identity: its error must

@@ -110,3 +110,28 @@ def test_live_culling_collapses_duplicate_keyframes(kitti_sample_dir):
     assert sys_.state == MultiMotSystem.STATE_OK
     # without culling there would be 5 keyframes
     assert 1 <= len(sys_.keyframes.frames) <= 3, len(sys_.keyframes.frames)
+
+
+def test_loop_candidate_consistency_gate():
+    """Consecutive-detection consistency (the reference's consistency
+    groups, src/LoopClosing.cc:105-230): scattered single-shot candidates
+    (repetitive-texture false positives) must NOT open the loop ladder;
+    three consecutive detections of one region must."""
+    from multimot_track_tpu.pipeline.system import MultiMotSystem
+
+    s = MultiMotSystem(enable_keyframes=True, keyframe_gap=5)
+    # scattered candidates: never consistent
+    assert not s._note_loop_candidate(10)
+    assert not s._note_loop_candidate(None)
+    assert not s._note_loop_candidate(50)
+    assert not s._note_loop_candidate(90)   # spread way beyond 2 gaps
+    # a genuine revisit: same region for three consecutive keyframes
+    assert not s._note_loop_candidate(12)
+    assert not s._note_loop_candidate(14)
+    assert s._note_loop_candidate(17)       # within 2*gap of the others
+    # history cleared on acceptance: no immediate re-trigger
+    assert not s._note_loop_candidate(18)
+    # single-shot mode accepts immediately
+    s1 = MultiMotSystem(enable_keyframes=True, loop_consistency=1)
+    assert s1._note_loop_candidate(3)
+    assert not s1._note_loop_candidate(None)

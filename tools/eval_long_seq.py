@@ -7,7 +7,7 @@ scenes from io/synth rendered at EXACTLY the kitti03.yaml camera
 (1242x375, fx 721.5377) so the device programs compiled for kitti_sample
 are reused:
 
-  circuit : one full 360-deg lap + 8%% overlap (genuine revisit ->
+  circuit : one full 360-deg lap + 12%% overlap (genuine revisit ->
             loop closure + post-loop global BA), 7 movers
   avenue  : 180 m with S-curves, lead/oncoming/crossing traffic,
             9 movers
@@ -46,14 +46,20 @@ def run_scene(name, frames, cfg):
     per_obj = {
         k: {
             "n": len(rs),
-            "t_rpe_med": float(np.median([r.t_rpe_rel for r in rs])),
+            # nan-aware: a non-finite metric record (tracked but
+            # unevaluable, e.g. a degenerate GT pair) must not poison the
+            # scene aggregate — its count is reported instead
+            "n_nonfinite": int(sum(
+                not np.isfinite(r.t_rpe_centred) for r in rs
+            )),
+            "t_rpe_med": float(np.nanmedian([r.t_rpe_rel for r in rs])),
             # lever-free translation error (eval/metrics.py t_rel_centred):
             # the E-metric above couples rotation error through the
             # |world origin - object| distance on long trajectories
             "t_rpe_centred_med": float(
-                np.median([r.t_rpe_centred for r in rs])
+                np.nanmedian([r.t_rpe_centred for r in rs])
             ),
-            "r_rpe_med": float(np.median([r.r_rpe_rel for r in rs])),
+            "r_rpe_med": float(np.nanmedian([r.r_rpe_rel for r in rs])),
             "speed_err_med": float(np.median(
                 [r.speed_err_rel for r in rs if np.isfinite(r.speed_err_rel)]
                 or [np.nan]
@@ -74,7 +80,7 @@ def run_scene(name, frames, cfg):
         "n_obj_estimates": s["n_obj_estimates"],
         "obj_t_rpe_rel_mean": s["obj_t_rpe_rel_mean"],
         "obj_t_rpe_centred_med": float(
-            np.median([r.t_rpe_centred for r in recs]) if recs else np.nan
+            np.nanmedian([r.t_rpe_centred for r in recs]) if recs else np.nan
         ),
         "obj_speed_err_rel_mean": s["obj_speed_err_rel_mean"],
         "n_distinct_movers": len(by_sem),
