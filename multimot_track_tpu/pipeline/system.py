@@ -1367,11 +1367,15 @@ class MultiMotSystem:
             return cand_frame is not None
         if cand_frame is None:
             return False
-        h = [x for x in self._loop_history[-(need + 1):] if x is not None]
-        if len(h) < need:
-            return False
         gap = self.keyframes.min_gap if self.keyframes else 5
-        if max(h) - min(h) > (need + 1) * gap:
+        # entries in the recent window that agree with the CURRENT
+        # candidate's region — a lone scattered (false) candidate earlier
+        # in the window neither helps nor blocks a genuine cluster
+        close = [
+            x for x in self._loop_history[-(need + 1):]
+            if x is not None and abs(x - cand_frame) <= (need + 1) * gap
+        ]
+        if len(close) < need:
             return False
         self._loop_history.clear()   # don't re-trigger on the same revisit
         return True
