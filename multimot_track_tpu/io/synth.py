@@ -453,8 +453,10 @@ def make_circuit_frames(n_frames: int = 220, radius: float = 28.0,
     def on_circle(r, theta):
         return np.array([r * np.sin(theta), 0.15, -r * np.cos(theta)])
 
-    positions = [on_circle(radius, th(t)) for t in range(n_frames)]
-    positions = [p - np.array([0.0, 0.15, 0.0]) for p in positions]
+    positions = [
+        on_circle(radius, th(t)) - np.array([0.0, 0.15, 0.0])
+        for t in range(n_frames)
+    ]
 
     def tangent(theta):
         return np.array([np.cos(theta), 0.0, np.sin(theta)])

@@ -344,7 +344,7 @@ class MultiMotSystem:
         # current velocity estimate: pipelined mode must drain the pending
         # frame first (losing the overlap on discovery runs)
         if self.discover_objects and self._pending is not None:
-            self.flush()  # result lands in _flush_buffer, returned below
+            self.flush(_buffer=True)  # result returned below via the buffer
         # discovery needs a velocity estimate (frame >= 2): with T_rel = I
         # the whole scene fails the ego-consistency gate and everything
         # would be flagged dynamic
@@ -422,18 +422,20 @@ class MultiMotSystem:
         self.map.frame_times.append(time.perf_counter() - t0)
         return result
 
-    def flush(self):
+    def flush(self, _buffer: bool = False):
         """Drain the pipelined mode's in-flight frame (call at sequence
-        end).  No-op in synchronous mode.
+        end).  No-op in synchronous mode.  Returns the drained result.
 
-        NOTE: ``summary()``, ``ego_ate()`` and the ``save_trajectory_*``
-        methods auto-flush; the drained result is buffered and returned by
-        the NEXT ``track_rgbd`` call, so interleaving those accessors with
-        tracking never loses a frame's return value."""
+        ``_buffer`` (internal): ``summary()``, ``ego_ate()``, the
+        ``save_trajectory_*`` methods and discovery auto-flush with
+        _buffer=True — their caller never sees the drained result, so it
+        is buffered and returned by the NEXT ``track_rgbd`` call.  A
+        caller invoking public ``flush()`` RECEIVES the result, so it
+        must not also be buffered (it would be returned twice)."""
         if self._pending is not None:
             result = self._process_frame(self._pending)
             self._pending = None
-            if result is not None:
+            if _buffer and result is not None:
                 self._flush_buffer.append(result)
             if self._kf_async is not None:
                 self._consume_kf_async(None)
@@ -777,6 +779,16 @@ class MultiMotSystem:
             gray, depth, self.cfg.camera.bf, self.cfg.camera.width
         )
 
+    @staticmethod
+    def _split_payload(f32: np.ndarray, n: int):
+        """Decode the _keyframe_payload f32 buffer: (uv (n,2), Xw (n,3),
+        valid (n,)) — the ONE place that knows the slice layout."""
+        return (
+            f32[: 2 * n].reshape(n, 2),
+            f32[2 * n : 5 * n].reshape(n, 3),
+            f32[5 * n :] > 0.5,
+        )
+
     def _frame_features(self, fd: FrameData):
         """Per-frame cache around ``_describe_frame``: local-map tracking,
         keyframe capture and relocalization all need the same features —
@@ -852,15 +864,19 @@ class MultiMotSystem:
         )
         n = int(desc.shape[0])
         # device-side views of the payload feed the fuse scan — no fetch
-        uv_dev = f32_h[: 2 * n].reshape(n, 2)
-        Xw_dev = f32_h[2 * n : 5 * n].reshape(n, 3)
-        valid_dev = f32_h[5 * n :] > 0.5
+        uv_dev, Xw_dev, valid_dev = self._split_payload(f32_h, n)
         fuse_handle, fuse_prevs = self.keyframes.dispatch_fuse(
             jnp.asarray(np.asarray(Tcw_cur, np.float32)), desc, uv_dev,
             valid_dev, Xw_dev,
             cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
         )
         sim_handle = adj_handle = None
+        # dense descriptor scoring against the whole stack: bounded by the
+        # store capacity (64 kf x 1024 x 1024 x 256b ~ 17 G MAC, <1 ms on
+        # the MXU), so the BoW two-stage dispatch the sync path switches
+        # to above bow_threshold is unnecessary here — its win is
+        # host/dispatch overhead, which this path defers off the critical
+        # path anyway
         stacked = self.keyframes._stacked_descriptors()
         if stacked is not None:
             sim_handle = _batched_match_counts(desc, valid, *stacked)
@@ -920,12 +936,13 @@ class MultiMotSystem:
         n = a["n"]
         f32 = np.asarray(fetched["f32"])
         bits = np.asarray(fetched["bits"])
+        uv_h, Xw_h, valid_h = self._split_payload(f32, n)
         kf = Keyframe(
             index=a["frame_idx"], Tcw=a["Tcw"],
-            uv=f32[: 2 * n].reshape(n, 2).astype(np.float32),
+            uv=uv_h.astype(np.float32),
             desc=np.unpackbits(bits, axis=-1).astype(np.int8) * 2 - 1,
-            valid=f32[5 * n :] > 0.5,
-            Xw=f32[2 * n : 5 * n].reshape(n, 3).astype(np.float32),
+            valid=valid_h,
+            Xw=Xw_h.astype(np.float32),
         )
         added = self.keyframes.maybe_add(kf)
         if not added:
@@ -936,7 +953,19 @@ class MultiMotSystem:
                 np.asarray(fetched["fuse"]), a["fuse_prevs"],
                 self.keyframes.frames[-1],
             )
-        if "adj" in fetched and "sim" in fetched and K_old >= 1:
+        # the dispatch-time covisibility counts index PAIRS of the
+        # dispatch-time store; any membership churn since (capacity
+        # eviction in maybe_add) shifts the adjacency and would cull on
+        # the wrong weights — skip this cadence's cull instead (rare, and
+        # the next keyframe's counts catch up)
+        aligned = (
+            len(self.keyframes.frames) == K_old + 1
+            and all(
+                self.keyframes.frames[i] is a["frames_ref"][i]
+                for i in range(K_old)
+            )
+        )
+        if aligned and "adj" in fetched and "sim" in fetched and K_old >= 1:
             sim = np.asarray(fetched["sim"])
             counts = np.concatenate(
                 [np.asarray(fetched["adj"])[: max(K_old - 1, 0)],
@@ -966,23 +995,22 @@ class MultiMotSystem:
             else:
                 # separation + consistency + acceptance all live inside
                 # _maybe_close_loop (it notes the candidate history)
-                if True:
-                    old_last = np.linalg.inv(
-                        self.map.camera_poses[-1]
+                old_last = np.linalg.inv(
+                    self.map.camera_poses[-1]
+                ).astype(np.float32)
+                corrected_last = self._maybe_close_loop(
+                    a["key"], a["frame_idx"], cand=cand
+                )
+                if corrected_last is not None:
+                    D = (
+                        np.linalg.inv(old_last) @ corrected_last
                     ).astype(np.float32)
-                    corrected_last = self._maybe_close_loop(
-                        a["key"], a["frame_idx"], cand=cand
+                    # the ladder already rewrote every row; only the
+                    # chain/anchors still need the fold
+                    self._apply_right_factor(
+                        D, pend,
+                        first_row=len(self.map.camera_poses),
                     )
-                    if corrected_last is not None:
-                        D = (
-                            np.linalg.inv(old_last) @ corrected_last
-                        ).astype(np.float32)
-                        # the ladder already rewrote every row; only the
-                        # chain/anchors still need the fold
-                        self._apply_right_factor(
-                            D, pend,
-                            first_row=len(self.map.camera_poses),
-                        )
 
     def _maybe_add_keyframe(
         self, fd: FrameData, Tcw: np.ndarray, feats=None, frame_idx=None
@@ -1008,9 +1036,7 @@ class MultiMotSystem:
         bits = np.asarray(bits)
         f32 = np.asarray(f32)
         n = bits.shape[0]
-        uv_h = f32[: 2 * n].reshape(n, 2)
-        Xw_h = f32[2 * n : 5 * n].reshape(n, 3)
-        valid_h = f32[5 * n :] > 0.5
+        uv_h, Xw_h, valid_h = self._split_payload(f32, n)
         desc_h = (
             np.unpackbits(bits, axis=-1).astype(np.int8) * 2 - 1
         )
@@ -1351,6 +1377,7 @@ class MultiMotSystem:
                 n_inl,
             )
         )
+        self._loop_history.clear()   # accepted: don't re-trigger on this revisit
         return corrected[-1]
 
     def _note_loop_candidate(self, cand_frame) -> bool:
@@ -1377,7 +1404,9 @@ class MultiMotSystem:
         ]
         if len(close) < need:
             return False
-        self._loop_history.clear()   # don't re-trigger on the same revisit
+        # NOTE: history is cleared by _maybe_close_loop only after an
+        # ACCEPTED closure — a downstream Sim3/drift-gate rejection keeps
+        # the accumulated revisit evidence so the next keyframe can retry
         return True
 
     def _try_relocalize(self, feats, key):

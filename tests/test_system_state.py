@@ -129,8 +129,12 @@ def test_loop_candidate_consistency_gate():
     assert not s._note_loop_candidate(12)
     assert not s._note_loop_candidate(14)
     assert s._note_loop_candidate(17)       # within 2*gap of the others
-    # history cleared on acceptance: no immediate re-trigger
-    assert not s._note_loop_candidate(18)
+    # the gate keeps firing while the revisit window lasts (a downstream
+    # Sim3/drift rejection must not discard the evidence); the LADDER
+    # clears the history only after an ACCEPTED closure
+    assert s._note_loop_candidate(18)
+    s._loop_history.clear()                 # what _maybe_close_loop does
+    assert not s._note_loop_candidate(19)   # fresh evidence required
     # single-shot mode accepts immediately
     s1 = MultiMotSystem(enable_keyframes=True, loop_consistency=1)
     assert s1._note_loop_candidate(3)
