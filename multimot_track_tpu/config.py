@@ -306,6 +306,13 @@ class BackendConfig:
     # reference's LocalMapping/LoopClosing background threads
     # (src/System.cc:92-97).  Ignored in synchronous mode.
     async_keyframes: bool = True
+    # Keyframe store capacity.  The reference's Map is unbounded
+    # (include/Map.h:43-90); here capacity bounds device memory/compiled
+    # shapes, and overflow evicts by TEMPORAL SKELETON (keyframes.py
+    # _evict_skeleton) rather than FIFO so the revisit anchor of a loop
+    # longer than min_gap*capacity frames survives.  96 keyframes of
+    # 1024x(32B desc + 3x4B Xw) ~ 4.3 MB host, ~17 GMAC/loop-query: cheap.
+    kf_capacity: int = 96
 
 
 @dataclasses.dataclass(frozen=True)

@@ -265,10 +265,34 @@ class KeyframeStore:
             return False
         self.frames.append(kf)
         if len(self.frames) > self.capacity:
-            self.frames.pop(0)
+            self._evict_skeleton()
         self._version += 1
         self._struct_version += 1
         return True
+
+    def _evict_skeleton(self):
+        """Capacity eviction that preserves loop anchors: instead of
+        dropping the OLDEST keyframe (FIFO would silently evict the
+        revisit anchor of any loop longer than ~min_gap*capacity frames,
+        making closure structurally impossible), drop the keyframe whose
+        removal least widens the temporal coverage — the middle of the
+        densest (index-space) triple.  Old map regions stay represented at
+        progressively coarser sampling (a covisibility-sparse skeleton:
+        the bounded-memory equivalent of the reference's unbounded Map,
+        /root/reference/src/Map.cc, include/Map.h:43-90).  The first
+        keyframe (map origin) and the newest quarter (the live local-map
+        window) are never evicted."""
+        n = len(self.frames)
+        protect_tail = max(2, self.capacity // 4)
+        lo, hi = 1, n - protect_tail  # candidate victims: frames[lo:hi]
+        if hi <= lo:
+            self.frames.pop(0)
+            return
+        idx = [kf.index for kf in self.frames]
+        victim = min(
+            range(lo, hi), key=lambda i: idx[i + 1] - idx[i - 1]
+        )
+        self.frames.pop(victim)
 
     def correct_poses(self, new_Tcw: List[np.ndarray]):
         """Rewrite every keyframe pose after a trajectory correction (loop

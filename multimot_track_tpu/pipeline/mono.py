@@ -66,7 +66,9 @@ class MonoTracker:
         if enable_backend:
             from multimot_track_tpu.pipeline.keyframes import KeyframeStore
 
-            self.keyframes = KeyframeStore(min_gap=keyframe_gap)
+            self.keyframes = KeyframeStore(
+                capacity=cfg.backend.kf_capacity, min_gap=keyframe_gap
+            )
         else:
             self.keyframes = None
 

@@ -31,6 +31,24 @@ from multimot_track_tpu.io.kitti import FrameData
 import functools
 
 
+def _stage_host_copy(*arrs):
+    """Start device->host copies NOW (non-blocking) so the later blocking
+    ``np.asarray``/``device_get`` finds the bytes already on the host.
+
+    Through the tunnel a blocking fetch costs a full RTT (~25-100 ms
+    depending on link state) even when the compute finished long ago;
+    ``copy_to_host_async`` staged at dispatch time reduces the later
+    fetch to ~0.2 ms (measured).  Safe no-op on arrays without the
+    method (CPU backend) and on non-arrays."""
+    for a in arrs:
+        fn = getattr(a, "copy_to_host_async", None)
+        if fn is not None:
+            try:
+                fn()
+            except Exception:
+                pass
+
+
 @functools.partial(jax.jit, static_argnames=("width",))
 def _describe_frame_device(gray_u8, depth_w, bf, width):
     """Keyframe-grade frame description as one fused program: FAST
@@ -206,7 +224,9 @@ class MultiMotSystem:
         if enable_keyframes:
             from multimot_track_tpu.pipeline.keyframes import KeyframeStore
 
-            self.keyframes = KeyframeStore(min_gap=keyframe_gap)
+            self.keyframes = KeyframeStore(
+                capacity=cfg.backend.kf_capacity, min_gap=keyframe_gap
+            )
         else:
             self.keyframes = None
 
@@ -413,6 +433,12 @@ class MultiMotSystem:
                 # discovery) whose result was never returned to the caller
                 result_prev = self._flush_buffer.pop(0)
             self._dispatch_refine(pend)
+            # stage the result's device->host copy now: by the next call's
+            # drain the bytes are host-side and the fetch costs ~0 RTT
+            _stage_host_copy(
+                pend["refine_handle"] if pend["refine_handle"] is not None
+                else pend["packed"]
+            )
             self._pending = pend
             self.map.frame_times.append(time.perf_counter() - t0)
             return result_prev
@@ -884,6 +910,10 @@ class MultiMotSystem:
         joint = None
         if be.joint_window_refine:
             joint = self._refine_joint_window(dispatch_only=True)
+        _stage_host_copy(
+            bits_h, f32_h, fuse_handle, sim_handle, adj_handle,
+            joint[0] if joint is not None else None,
+        )
         self._kf_async = dict(
             frame_idx=frame_idx,
             Tcw=np.asarray(Tcw_cur, np.float32).copy(),
