@@ -554,3 +554,230 @@ def make_avenue_frames(n_frames: int = 240, cam=None):
         cam, lambda t: poses[t], movers, n_frames,
         box=(-40.0, 40.0, -20.0, v * n_frames + 60.0),
     )
+
+
+def make_junction_frames(n_frames: int = 60, cam=None, n_concurrent: int = 8):
+    """Dense-traffic junction approach: ``n_concurrent`` movers with
+    DISTINCT labels all alive simultaneously for (nearly) the whole scene
+    — the k_obj_solve stress fixture.  The reference's association tables
+    size for ~12 concurrent objects (src/Tracking.cc:704-748) and it
+    solves every detected object each frame (src/Tracking.cc:1658-2253);
+    this scene measures what a top-K solve batch costs in accuracy and ID
+    stability when K < concurrent movers.
+
+    Ego creeps forward at 0.45 m/s toward a junction with a lead vehicle,
+    two oncoming cars and four crossers at staggered depth stations, all
+    in view together."""
+    cam = dict(KITTI_SYNTH_CAM) if cam is None else cam
+    v = 0.45
+    positions = [np.array([0.0, 0.0, v * t]) for t in range(n_frames)]
+
+    # Lane layout keeps >=6 movers visible in EVERY frame: the lead
+    # vehicle (rel z ~12, u-band ~[356, 437]) occludes anything distant
+    # on the right of the vanishing point, so far traffic rides the LEFT
+    # lanes and the right side is crossed by NEAR movers that pass in
+    # front of the lead.
+    defs = [
+        # (label, centre(t), facing, half_w, half_h)
+        # lead, right of centre, rel z ~= 12 the whole scene
+        (1, lambda t: np.array([2.0, 0.25, 12.0 + 0.40 * t]),
+         (0.0, 0.0, -1.0), 1.05, 0.78),
+        # far oncoming, left lane
+        (2, lambda t: np.array([-2.8, 0.20, 58.0 - 0.40 * t]),
+         (0.0, 0.0, 1.0), 1.05, 0.78),
+        # far crossers L->R at fixed stations (stay left of the lead band)
+        (3, lambda t: np.array([-10.0 + 0.195 * t, 0.30, 35.0]),
+         (0.0, 0.0, -1.0), 1.05, 0.78),
+        (4, lambda t: np.array([-10.0 + 0.16 * t, 0.30, 50.0]),
+         (0.0, 0.0, -1.0), 1.05, 0.78),
+        # near crossers sweeping IN FRONT of the lead (rel z ~9-11):
+        # small and fast, so each far-lane label they pass over is hidden
+        # for only ~6 frames, staggered early (5) / late (6)
+        (5, lambda t: np.array([8.0 - 0.40 * t, 0.30, 10.5 + 0.43 * t]),
+         (0.0, 0.0, -1.0), 0.8, 0.6),
+        (6, lambda t: np.array([-14.0 + 0.40 * t, 0.35, 9.2 + 0.43 * t]),
+         (0.0, 0.0, -1.0), 0.8, 0.6),
+        # second far oncoming, outer left lane (in view the whole scene)
+        (7, lambda t: np.array([-5.5, 0.20, 64.0 - 0.40 * t]),
+         (0.0, 0.0, 1.0), 1.05, 0.78),
+        # far-right crosser R->L riding the band RIGHT of the lead
+        # (u ~ 480-500; the only far lane the lead does not occlude)
+        (8, lambda t: np.array([25.0 - 0.20 * t, 0.25, 65.0]),
+         (0.0, 0.0, -1.0), 1.05, 0.78),
+    ]
+    movers = [
+        Mover(
+            centre=c, half_w=hw, half_h=hh, seed=80 + lbl,
+            panels=vee_panels(face, hw, hh), label=lbl,
+        )
+        for lbl, c, face, hw, hh in defs[:n_concurrent]
+    ]
+    poses = _path_poses(positions)
+    return _build_frames(
+        cam, lambda t: poses[t], movers, n_frames,
+        box=(-40.0, 40.0, -20.0, v * n_frames + 95.0),
+    )
+
+
+def write_stereo_tree(dst, n_frames: int = 14, cam=None):
+    """Render a synthetic STEREO sequence (KITTI image_2/image_3 layout)
+    for the quad-stereo A/B: left + right views from a rigid baseline
+    b = bf/fx, ground-truth poses, left-view instance masks.  No flow/
+    depth files — the stereo loader computes block-matching disparity and
+    the pipeline estimates flow on device, which is exactly the regime
+    where the quad gate (descriptor-verified correspondences across all
+    four views, src/ORBmatcher.cc:1704-1842) can improve on estimated
+    flow."""
+    import pathlib
+
+    from PIL import Image
+
+    cam = dict(SYNTH_CAM) if cam is None else cam
+    b = cam["bf"] / cam["fx"]
+    v = 0.55
+    amp, period = 1.8, 40.0
+    positions = [
+        np.array([amp * np.sin(2 * np.pi * t / period), 0.0, v * t])
+        for t in range(n_frames)
+    ]
+    movers = [
+        Mover(
+            centre=lambda t: np.array([1.8, 0.25, 9.0 + 0.42 * t]),
+            half_w=1.0, half_h=0.75, seed=50,
+            panels=vee_panels((0.0, 0.0, -1.0), 1.0, 0.75), label=1,
+        ),
+        Mover(
+            centre=lambda t: np.array([-6.0 + 0.35 * t, 0.3, 16.0]),
+            half_w=0.9, half_h=0.7, seed=51,
+            axes=_facing_axes((0.0, 0.0, -1.0)), label=2,
+        ),
+    ]
+    poses = _path_poses(positions)
+    box = (-30.0, 30.0, -10.0, v * n_frames + 50.0)
+
+    dst = pathlib.Path(dst)
+    for sub in ("image_2", "image_3", "semantic"):
+        (dst / sub).mkdir(parents=True, exist_ok=True)
+    with open(dst / "pose_gt.txt", "w") as fpose, \
+            open(dst / "times.txt", "w") as ftime:
+        for t in range(n_frames):
+            Twc = poses[t]
+            Twc_r = Twc.copy()
+            Twc_r[:3, 3] = Twc[:3, 3] + Twc[:3, :3] @ np.array([b, 0.0, 0.0])
+            left, _, label, _ = _render_frame(cam, Twc, movers, t, box=box)
+            right, _, _, _ = _render_frame(cam, Twc_r, movers, t, box=box)
+            Image.fromarray(left.astype(np.uint8)).save(
+                dst / "image_2" / f"{t:06d}.png"
+            )
+            Image.fromarray(right.astype(np.uint8)).save(
+                dst / "image_3" / f"{t:06d}.png"
+            )
+            np.savetxt(dst / "semantic" / f"{t:06d}.txt", label, fmt="%d")
+            G0 = np.linalg.inv(poses[0])
+            T = (G0 @ Twc).astype(np.float64)
+            fpose.write(
+                f"{t} " + " ".join(f"{x:.9f}" for x in T.reshape(-1)) + "\n"
+            )
+            ftime.write(f"{t * 0.1:.6e}\n")
+    return dst
+
+
+# ---------------------------------------------------------------------------
+# Input degradation (the reference's own noise models)
+
+def _erode_labels(label: np.ndarray, r: int) -> np.ndarray:
+    """Per-label binary erosion by a (2r+1)-square: a mover pixel survives
+    only if its full neighbourhood shares its label; boundary pixels fall
+    back to 0 (static).  Mimics a segmentation net's under-segmentation at
+    object boundaries without pulling in scipy."""
+    if r <= 0:
+        return label
+    keep = np.ones_like(label, bool)
+    H, W = label.shape
+    pad = np.pad(label, r, mode="edge")
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dy == 0 and dx == 0:
+                continue
+            keep &= pad[r + dy:r + dy + H, r + dx:r + dx + W] == label
+    out = label.copy()
+    out[(label > 0) & ~keep] = 0
+    return out
+
+
+def degrade_frames(
+    frames,
+    seed: int = 0,
+    depth_noise_scale: float = 0.15,
+    flow_sigma: float = 0.3,
+    flow_outlier_every: int = 35,
+    flow_outlier_sigma: float = 4.0,
+    mask_erode_px: int = 2,
+    gray_sigma: float = 2.0,
+    bf: float = None,
+):
+    """Corrupt analytic frames with the REFERENCE's own noise models so
+    at-scale accuracy is proven on degraded inputs, not just clean ones.
+
+    - depth: z += N(0, z^2/(725*0.5) * depth_noise_scale) — exactly the
+      reference's AddNoise model (src/Frame.cc:1089, UnprojectStereoSift;
+      0.15 is the scale the reference ships enabled for its sampled
+      features).
+    - flow: dense N(0, flow_sigma) px everywhere (flow-net estimation
+      error) + gross outliers at rate 1/flow_outlier_every with
+      N(0, flow_outlier_sigma) px — the reference's commented outlier
+      injector corrupts every 35th keypoint with gaussian(4.0)
+      (src/Frame.cc:276-301).
+    - mask: per-label erosion by mask_erode_px (segmentation boundary
+      error; eroded pixels become static, stressing the motion-grouping
+      gates with contaminated static sets).
+    - gray: N(0, gray_sigma) intensity noise (sensor noise; stresses the
+      ZNCC photometric verification gate).
+
+    Ground truth stays EXACT — degraded inputs are measured against the
+    same analytic GT, so these rows isolate robustness of the estimator.
+    """
+    rng = np.random.default_rng(seed)
+    out = []
+    for fd in frames:
+        depth_raw = fd.depth_raw
+        if depth_noise_scale > 0:
+            # depth_raw = bf*256/z -> corrupt in METRIC space (sigma is a
+            # function of z in meters), then re-encode.  ``bf`` must match
+            # the generator camera; default is the KITTI synth camera.
+            bf256 = 256.0 * (bf if bf is not None else KITTI_SYNTH_CAM["bf"])
+            with np.errstate(divide="ignore"):
+                z_m = np.where(depth_raw > 1e-6, bf256 / depth_raw, 0.0)
+            sigma = z_m * z_m / (725.0 * 0.5) * depth_noise_scale
+            z_noisy = np.maximum(z_m + rng.normal(0.0, 1.0, z_m.shape) * sigma,
+                                 0.5)
+            depth_raw = np.where(
+                depth_raw > 1e-6, bf256 / z_noisy, depth_raw
+            ).astype(np.float32)
+        flow = fd.flow
+        if flow_sigma > 0 or flow_outlier_every:
+            flow = flow + rng.normal(0.0, flow_sigma, flow.shape).astype(
+                np.float32
+            )
+            if flow_outlier_every:
+                m = rng.random(flow.shape[:2]) < (1.0 / flow_outlier_every)
+                flow = np.where(
+                    m[..., None],
+                    flow + rng.normal(
+                        0.0, flow_outlier_sigma, flow.shape
+                    ).astype(np.float32),
+                    flow,
+                )
+        gray = fd.gray
+        if gray_sigma > 0:
+            gray = np.clip(
+                gray + rng.normal(0.0, gray_sigma, gray.shape), 0, 255
+            ).astype(np.float32)
+        out.append(dataclasses.replace(
+            fd,
+            gray=gray,
+            depth_raw=depth_raw,
+            flow=flow.astype(np.float32),
+            sem_mask=_erode_labels(fd.sem_mask, mask_erode_px),
+        ))
+    return out

@@ -31,6 +31,25 @@ from multimot_track_tpu.io.kitti import FrameData
 import functools
 
 
+class _StageCtx:
+    """Tiny stage timer: appends elapsed wall seconds to acc[name]."""
+
+    __slots__ = ("acc", "name", "t0")
+
+    def __init__(self, acc, name):
+        self.acc, self.name = acc, name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.acc.setdefault(self.name, []).append(
+            time.perf_counter() - self.t0
+        )
+        return False
+
+
 def _stage_host_copy(*arrs):
     """Start device->host copies NOW (non-blocking) so the later blocking
     ``np.asarray``/``device_get`` finds the bytes already on the host.
@@ -221,6 +240,12 @@ class MultiMotSystem:
         # groups, src/LoopClosing.cc:105-230); 1 = single-shot
         self.loop_consistency = loop_consistency
         self._loop_history = []
+        # per-stage wall-time accumulator (seconds, list per stage name):
+        # the live-loop breakdown the reference gets from its per-thread
+        # timers (Examples/RGB-D/rgbd_tum.cc:158-203 times TrackRGBD as
+        # one block; ours splits dispatch/fetch/backend rungs).  Always
+        # on — two perf_counter calls per stage.
+        self.stage_times: Dict[str, List[float]] = {}
         if enable_keyframes:
             from multimot_track_tpu.pipeline.keyframes import KeyframeStore
 
@@ -229,6 +254,25 @@ class MultiMotSystem:
             )
         else:
             self.keyframes = None
+
+    # ------------------------------------------------------------------
+    def _stage(self, name: str):
+        """``with self._stage("loop_ladder"):`` — accumulate wall time."""
+        return _StageCtx(self.stage_times, name)
+
+    def stage_report(self) -> Dict[str, Dict[str, float]]:
+        """Aggregate stage_times: total seconds, call count, mean ms."""
+        return {
+            k: {
+                "total_s": round(float(np.sum(v)), 3),
+                "n": len(v),
+                "mean_ms": round(1e3 * float(np.mean(v)), 2),
+            }
+            for k, v in sorted(
+                self.stage_times.items(),
+                key=lambda kv: -float(np.sum(kv[1])),
+            )
+        }
 
     # ------------------------------------------------------------------
     def reset(self):
@@ -356,9 +400,11 @@ class MultiMotSystem:
         gt = F.make_gt_table(fd.pose_gt, fd.obj_ids_gt, fd.obj_poses_gt, K)
         # device handles (uploaded once; full_step and the window refiner
         # share the buffers — no duplicate transfers)
-        gray, depth, flow, sem = (
-            uploaded if uploaded is not None else self.upload(fd)
-        )
+        if uploaded is not None:
+            gray, depth, flow, sem = uploaded
+        else:
+            with self._stage("upload"):
+                gray, depth, flow, sem = self.upload(fd)
         self._dev_images = (self._frame_idx, gray, depth)
         # discovery consumes the PREVIOUS frame's window entry and the
         # current velocity estimate: pipelined mode must drain the pending
@@ -397,17 +443,24 @@ class MultiMotSystem:
             return None
 
         step_key = jax.random.fold_in(self.key, self._frame_idx)
-        packed, new_ctx, obs = tracker.full_step(
-            step_key, self._last_obs, gray, depth, flow, sem, gt, self._ctx, cfg
-        )
+        with self._stage("dispatch_pair"):
+            packed, new_ctx, obs = tracker.full_step(
+                step_key, self._last_obs, gray, depth, flow, sem, gt,
+                self._ctx, cfg
+            )
         if self._result_spec is None:
             self._result_spec = tracker.light_result_spec(cfg)
 
+        if self.enable_keyframes:
+            with self._stage("features"):
+                feats = self._frame_features(fd)
+        else:
+            feats = None
         pend = {
             "packed": packed, "new_ctx": new_ctx, "fd": fd, "key": step_key,
             "frame_idx": self._frame_idx,
             "gray": gray, "depth": depth, "flow": flow, "sem": sem,
-            "feats": self._frame_features(fd) if self.enable_keyframes else None,
+            "feats": feats,
             "corr": None,  # captured in _dispatch_refine, AFTER the pending drain
             "refine_handle": None, "use_lm": False, "use_win": False,
             "win_after": None, "Twc0_h": None,
@@ -568,7 +621,8 @@ class MultiMotSystem:
         # frame: buffers are ready, the fetch costs transfer only; its
         # retroactive corrections update pend["corr"]/anchors in place
         if self._kf_async is not None:
-            self._consume_kf_async(pend)
+            with self._stage("kf_consume"):
+                self._consume_kf_async(pend)
         corr = pend["corr"]
         use_lm, use_win = pend["use_lm"], pend["use_win"]
         win_after, Twc0_h = pend["win_after"], pend["Twc0_h"]
@@ -576,18 +630,21 @@ class MultiMotSystem:
         fused = be.fused_refine
 
         # exactly one device->host transfer for the whole frame result
-        if pend["refine_handle"] is not None:
-            from multimot_track_tpu.pipeline import live_refine
+        with self._stage("fetch_result"):
+            if pend["refine_handle"] is not None:
+                from multimot_track_tpu.pipeline import live_refine
 
-            packed_h, T1, accept_lm, _n_lm, poses_out, n_live = (
-                live_refine.split_refined(
-                    np.asarray(pend["refine_handle"]), cfg,
-                    window=len(win_after) if use_win else 0,
+                packed_h, T1, accept_lm, _n_lm, poses_out, n_live = (
+                    live_refine.split_refined(
+                        np.asarray(pend["refine_handle"]), cfg,
+                        window=len(win_after) if use_win else 0,
+                    )
                 )
-            )
-            result = tracker.unpack_pytree(packed_h, self._result_spec)
-        else:
-            result = tracker.unpack_pytree(pend["packed"], self._result_spec)
+                result = tracker.unpack_pytree(packed_h, self._result_spec)
+            else:
+                result = tracker.unpack_pytree(
+                    pend["packed"], self._result_spec
+                )
 
         # the pose of the device odometry chain, and its correction into
         # the recorded world frame (identity in synchronous mode — the
@@ -606,7 +663,8 @@ class MultiMotSystem:
             Tcw_fallback = self._velocity @ Tcw_last
             # relocalization attempt against stored keyframes (descriptor
             # place recognition -> RANSAC PnP), reference's LOST ladder
-            T_reloc = self._try_relocalize(pend["feats"], pend["key"])
+            with self._stage("relocalize"):
+                T_reloc = self._try_relocalize(pend["feats"], pend["key"])
             if T_reloc is not None:
                 Tcw_fallback = T_reloc
                 self.state = self.STATE_OK
@@ -645,12 +703,13 @@ class MultiMotSystem:
                     np.float32
                 )
                 _fix_ctx(Tcw_last=T1, T_velocity=self._velocity)
-            self._record(result, fd, Tcw_online=Tcw_online,
-                         frame_idx=frame_idx)
-            self._push_window(
-                pend["gray"], pend["depth"], pend["flow"], pend["sem"],
-                len(self.map.camera_poses) - 1,
-            )
+            with self._stage("record"):
+                self._record(result, fd, Tcw_online=Tcw_online,
+                             frame_idx=frame_idx)
+                self._push_window(
+                    pend["gray"], pend["depth"], pend["flow"], pend["sem"],
+                    len(self.map.camera_poses) - 1,
+                )
             if (
                 flow_ok
                 and use_win
@@ -682,20 +741,25 @@ class MultiMotSystem:
                 and self.keyframes.frames
             )
             if use_lm_sync and self.state == self.STATE_OK:
-                T_lm = self._track_local_map(Tcw_online, pend["feats"], fd)
+                with self._stage("local_map"):
+                    T_lm = self._track_local_map(
+                        Tcw_online, pend["feats"], fd
+                    )
                 if T_lm is not None:
                     result = result._replace(Tcw_cur=T_lm)
                     self._velocity = (T_lm @ np.linalg.inv(Tcw_last)).astype(np.float32)
                     _fix_ctx(Tcw_last=T_lm, T_velocity=self._velocity)
 
-            self._record(result, fd, Tcw_online=Tcw_online,
-                         frame_idx=frame_idx)
-            self._push_window(
-                pend["gray"], pend["depth"], pend["flow"], pend["sem"],
-                len(self.map.camera_poses) - 1,
-            )
+            with self._stage("record"):
+                self._record(result, fd, Tcw_online=Tcw_online,
+                             frame_idx=frame_idx)
+                self._push_window(
+                    pend["gray"], pend["depth"], pend["flow"], pend["sem"],
+                    len(self.map.camera_poses) - 1,
+                )
             if cfg.backend.window_refine and self.state == self.STATE_OK:
-                refined_last = self._refine_window()
+                with self._stage("window_refine"):
+                    refined_last = self._refine_window()
                 if refined_last is not None:
                     result = result._replace(Tcw_cur=refined_last)
                     _fix_ctx(Tcw_last=refined_last)
@@ -713,19 +777,22 @@ class MultiMotSystem:
         ):
             # async keyframe cadence: dispatch everything now, consume at
             # the next drain (fetches then cost transfer only)
-            self._dispatch_kf_cadence(
-                pend, np.asarray(result.Tcw_cur), frame_idx
-            )
+            with self._stage("kf_dispatch"):
+                self._dispatch_kf_cadence(
+                    pend, np.asarray(result.Tcw_cur), frame_idx
+                )
         elif self.enable_keyframes and self.state == self.STATE_OK:
             # after _record so the keyframe's trajectory row exists; a
             # successful loop closure rewrites the recorded trajectory
-            added = self._maybe_add_keyframe(
-                fd, np.asarray(result.Tcw_cur), pend["feats"], frame_idx
-            )
+            with self._stage("keyframe_add"):
+                added = self._maybe_add_keyframe(
+                    fd, np.asarray(result.Tcw_cur), pend["feats"], frame_idx
+                )
             if added and cfg.backend.joint_window_refine:
                 # joint ego+object windowed BA at keyframe cadence (the
                 # LocalBundleAdjustment rung, extended with object motions)
-                joint_last = self._refine_joint_window()
+                with self._stage("joint_ba"):
+                    joint_last = self._refine_joint_window()
                 if joint_last is not None:
                     result = result._replace(Tcw_cur=joint_last)
                     _fix_ctx(Tcw_last=joint_last)
@@ -735,7 +802,10 @@ class MultiMotSystem:
                         ).astype(np.float32)
                         _fix_ctx(T_velocity=self._velocity)
             if added and self.enable_loop_closing:
-                corrected_last = self._maybe_close_loop(pend["key"], frame_idx)
+                with self._stage("loop_ladder"):
+                    corrected_last = self._maybe_close_loop(
+                        pend["key"], frame_idx
+                    )
                 if corrected_last is not None:
                     result = result._replace(Tcw_cur=corrected_last)
                     _fix_ctx(

@@ -84,9 +84,69 @@ def run_scene(name, frames, cfg):
         ),
         "obj_speed_err_rel_mean": s["obj_speed_err_rel_mean"],
         "n_distinct_movers": len(by_sem),
+        # host-loop stage breakdown (VERDICT r4 #7: explains where the
+        # long-scene wall time goes — loop ladder vs BA vs record)
+        "stages": sys_.stage_report(),
         "per_object": per_obj,
     }
     return out
+
+
+def _scale_series(poses, frames, skip=4):
+    """Per-pair est/gt translation ratio (the monocular scale)."""
+    ratios = []
+    for i in range(skip, len(poses)):
+        Twc_a = np.linalg.inv(poses[i - 1])
+        Twc_b = np.linalg.inv(poses[i])
+        est = np.linalg.norm(Twc_b[:3, 3] - Twc_a[:3, 3])
+        gt = np.linalg.norm(
+            frames[i].pose_gt[:3, 3] - frames[i - 1].pose_gt[:3, 3]
+        )
+        if gt > 1e-6 and est > 1e-9:
+            ratios.append(est / gt)
+    return np.asarray(ratios)
+
+
+def _scale_drift(r):
+    head = np.median(r[: max(5, len(r) // 5)])
+    tail = np.median(r[-max(5, len(r) // 5):])
+    return float(abs(np.log(tail / head)))
+
+
+def run_mono_scene(name, frames, cfg, enable_backend):
+    """Mono-at-scale row (VERDICT r4 #6): MonoTracker over the scene's
+    gray stream, reporting Sim3-aligned ATE + scale drift with/without
+    the backend ladder (reference anchor:
+    /root/reference/Examples/Monocular/mono_kitti.cc)."""
+    import jax.numpy as jnp
+
+    from multimot_track_tpu.eval.metrics import absolute_trajectory_error
+    from multimot_track_tpu.pipeline.mono import MonoTracker
+
+    tr = MonoTracker(cfg, n_kp=768, enable_backend=enable_backend,
+                     keyframe_gap=3)
+    t0 = time.perf_counter()
+    for fd in frames:
+        tr.track(fd.gray)
+    wall = time.perf_counter() - t0
+    est = np.stack([np.linalg.inv(T) for T in tr.poses]).astype(np.float32)
+    gt = np.stack([fd.pose_gt for fd in frames]).astype(np.float32)
+    ate, _ = absolute_trajectory_error(
+        jnp.asarray(est), jnp.asarray(gt), with_scale=True
+    )
+    ratios = _scale_series(tr.poses, frames)
+    return {
+        "scene": name,
+        "mode": "mono+backend" if enable_backend else "mono-vo",
+        "n_frames": len(frames),
+        "wall_s": round(wall, 1),
+        "fps": round(len(frames) / wall, 2),
+        "ate_sim3_m": round(float(ate), 3),
+        "scale_drift_log": round(_scale_drift(ratios), 4)
+        if ratios.size > 20 else None,
+        "n_scale_pairs": int(ratios.size),
+        "n_loop_closures": len(getattr(tr, "loop_events", [])),
+    }
 
 
 def main():
@@ -94,8 +154,17 @@ def main():
     ap.add_argument("--frames", type=int, default=220)
     ap.add_argument("--quick", action="store_true",
                     help="48 frames at 640x384 (CPU-sized sanity run)")
+    ap.add_argument("--noise", action="store_true",
+                    help="also run each scene on degraded inputs (the "
+                    "reference's depth-noise model src/Frame.cc:1089 + its "
+                    "1/35 flow-outlier injector src/Frame.cc:276-301 + mask "
+                    "erosion + sensor gray noise); GT stays exact")
+    ap.add_argument("--mono", action="store_true",
+                    help="also run MonoTracker (VO-only and full backend) "
+                    "over each scene's gray stream: Sim3 ATE + scale drift")
     ap.add_argument("--out", default="LONGSEQ")
     args = ap.parse_args()
+    mono_rows = []
 
     import dataclasses
 
@@ -127,10 +196,27 @@ def main():
         frames = mk()
         print(f"  rendered {len(frames)} frames in "
               f"{time.perf_counter()-t0:.1f}s", flush=True)
-        r = run_scene(name, frames, cfg)
-        print("  " + json.dumps({k: v for k, v in r.items() if k != "per_object"}),
-              flush=True)
-        results.append(r)
+        variants = [(name, frames)]
+        if args.noise:
+            variants.append((
+                f"{name}-noisy",
+                synth.degrade_frames(frames, seed=11, bf=cam["bf"]),
+            ))
+        for vname, vframes in variants:
+            r = run_scene(vname, vframes, cfg)
+            print("  " + json.dumps(
+                {k: v for k, v in r.items()
+                 if k not in ("per_object", "stages")}
+            ), flush=True)
+            print("  stages: " + json.dumps({
+                k: v["total_s"] for k, v in r["stages"].items()
+            }), flush=True)
+            results.append(r)
+        if args.mono:
+            for backend in (False, True):
+                m = run_mono_scene(name, frames, cfg, backend)
+                print("  " + json.dumps(m), flush=True)
+                mono_rows.append(m)
 
     root = pathlib.Path(__file__).resolve().parent.parent
     (root / f"{args.out}.json").write_text(json.dumps(results, indent=1))
@@ -141,10 +227,17 @@ def main():
         "",
         "Generated by `tools/eval_long_seq.py`.  Scenes: `io/synth.make_circuit_frames`",
         "(full 360-deg lap + revisit, 7 movers) and `make_avenue_frames` (180 m,",
-        "S-curves, 9 movers), rendered at the kitti03.yaml camera.  GT is exact, so",
-        "these numbers measure the system; the reference can only be run on",
-        "kitti_sample (5 frames) because it hard-requires precomputed .flo/mask",
-        "files (rgbd_tum.cc:316) this framework synthesizes on device.",
+        "S-curves, 10 mover lifespans sharing 5 semantic labels, <=6 concurrent —",
+        "label reuse means two concurrent same-label movers would merge into one",
+        "slot, so spawns are staggered), rendered at the kitti03.yaml camera.  GT",
+        "is exact, so these numbers measure the system; the reference can only be",
+        "run on kitti_sample (5 frames) because it hard-requires precomputed",
+        ".flo/mask files (rgbd_tum.cc:316) this framework synthesizes on device.",
+        "",
+        "`-noisy` rows are the SAME scenes under the reference's own input",
+        "corruption (depth sigma = z^2/(725*0.5)*0.15, src/Frame.cc:1089; 1/35",
+        "flow outliers at sigma 4 px, src/Frame.cc:276-301; 2 px mask erosion;",
+        "sigma-2 gray sensor noise) measured against the same exact GT.",
         "",
         "| scene | frames | loop closures | ego t-RPE | ego ATE (m) | movers "
         "| obj t-RPE centred (med) | speed err mean | fps (this host) |",
@@ -156,6 +249,45 @@ def main():
             f"{r['cam_t_rpe_rel_mean']*100:.2f}% | {r['ego_ate_rmse_m']:.3f} | "
             f"{r['n_distinct_movers']} | {r['obj_t_rpe_centred_med']*100:.2f}% | "
             f"{r['obj_speed_err_rel_mean']*100:.2f}% | {r['fps']} |"
+        )
+    if mono_rows:
+        lines += [
+            "",
+            "## Monocular at scale (gray stream only, up-to-scale)",
+            "",
+            "`MonoTracker` over the same scenes' gray frames "
+            "(mono_kitti.cc role): Sim3-aligned ATE and scale drift "
+            "|log(late/early scale)|, VO-only vs full backend "
+            "(keyframes + local map + fix_scale=False loop closing).",
+            "",
+            "| scene | mode | frames | ATE Sim3 (m) | scale drift (log) "
+            "| loop closures | fps |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for m in mono_rows:
+            lines.append(
+                f"| {m['scene']} | {m['mode']} | {m['n_frames']} | "
+                f"{m['ate_sim3_m']} | {m['scale_drift_log']} | "
+                f"{m['n_loop_closures']} | {m['fps']} |"
+            )
+        (root / f"{args.out}_mono.json").write_text(
+            json.dumps(mono_rows, indent=1)
+        )
+    lines += [
+        "",
+        "## Host-loop stage breakdown (seconds total per scene)",
+        "",
+        "| scene | " + " | ".join(
+            k for k in results[0]["stages"]
+        ) + " |",
+        "|---" * (1 + len(results[0]["stages"])) + "|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['scene']} | " + " | ".join(
+                str(r["stages"].get(k, {}).get("total_s", "-"))
+                for k in results[0]["stages"]
+            ) + " |"
         )
     lines += ["", "Per-object medians live in LONGSEQ.json."]
     (root / f"{args.out}.md").write_text("\n".join(lines) + "\n")

@@ -1,0 +1,94 @@
+"""Quad-stereo A/B on ego accuracy (VERDICT r4 weak #8).
+
+`--quad-stereo` splats descriptor-verified four-view correspondences
+(last-L/R, cur-L/R — the reference's dormant SearchByQuad,
+/root/reference/src/ORBmatcher.cc:1704-1842) over the estimated flow on
+the stereo path.  r4 proved the gate RUNS (n_quad_matched > 0); this
+measures whether it HELPS: ego t-RPE with and without the gate on a
+synthetic stereo sequence (io/synth.write_stereo_tree) where flow comes
+from on-device dense LK — the realistic noisy-flow regime.
+
+Writes QUAD_AB.json.
+
+  python tools/measure_quad_ab.py [--frames 14]
+"""
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def run_one(root, cfg, quad):
+    from multimot_track_tpu.io.stereo_seq import StereoKittiSequence
+    from multimot_track_tpu.pipeline.system import MultiMotSystem
+
+    seq = StereoKittiSequence(root, max_disp=64, quad_gate=quad)
+    sys_ = MultiMotSystem(cfg)
+    t0 = time.perf_counter()
+    for i in range(len(seq)):
+        sys_.track_rgbd(seq.load_frame(i))
+    wall = time.perf_counter() - t0
+    s = sys_.summary()
+    return {
+        "quad_gate": quad,
+        "n_frames": s["n_frames"],
+        "cam_t_rpe_rel_mean": s["cam_t_rpe_rel_mean"],
+        "cam_r_rpe_rel_mean": s["cam_r_rpe_rel_mean"],
+        "ego_ate_rmse_m": s["ego_ate_rmse_m"],
+        "n_quad_matched": int(seq.n_quad_matched),
+        "wall_s": round(wall, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=14)
+    args = ap.parse_args()
+
+    from multimot_track_tpu.config import DEFAULT_CONFIG
+    from multimot_track_tpu.io import synth
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, camera=synth.synth_camera_config(),
+        padding=dataclasses.replace(
+            DEFAULT_CONFIG.padding, n_static_max=1024, n_obj_pts_max=4096
+        ),
+        solver=dataclasses.replace(
+            DEFAULT_CONFIG.solver, ransac_iters=200, cam_lm_iters=60,
+            obj_lm_iters=100,
+        ),
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        root = synth.write_stereo_tree(
+            pathlib.Path(td) / "stereo", n_frames=args.frames
+        )
+        rows = [run_one(root, cfg, q) for q in (False, True)]
+    for r in rows:
+        print(json.dumps(r), flush=True)
+
+    off, on = rows
+    rows.append({
+        "verdict": "quad gate "
+        + ("improves" if on["cam_t_rpe_rel_mean"] < off["cam_t_rpe_rel_mean"]
+           else "does not improve")
+        + " ego t-RPE on estimated flow",
+        "t_rpe_delta": round(
+            on["cam_t_rpe_rel_mean"] - off["cam_t_rpe_rel_mean"], 5
+        ),
+    })
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    (repo / "QUAD_AB.json").write_text(json.dumps(rows, indent=1))
+    print("wrote QUAD_AB.json")
+
+
+if __name__ == "__main__":
+    main()
