@@ -103,6 +103,30 @@ def _texture(a, b, seed):
     return np.clip(127.0 + 110.0 * v, 5, 250)
 
 
+def _texture_distinct(a, b, seed):
+    """Locally DISTINCTIVE texture for descriptor-based matching: two
+    scales of hashed random blocks — every neighbourhood is a unique
+    pattern, unlike ``_texture`` whose dominant sinusoids repeat and
+    alias BRIEF descriptors across the image (measured: 55/768 mutual
+    matches frame-to-frame vs 400+ here).  Mono/ORB evaluation renders
+    use this; the RGB-D fixtures keep ``_texture`` (their dense-flow +
+    ZNCC path does not need descriptor uniqueness, and their test
+    thresholds are calibrated on it)."""
+    s = float(seed)
+    v = np.zeros_like(np.asarray(a, np.float64))
+    for k, scale in ((1.0, 1.3), (2.0, 3.3)):
+        cell = np.sin(
+            np.floor(a * scale) * 12.9898
+            + np.floor(b * scale) * 78.233
+            + s * 91.7 + k * 269.5
+        ) * 43758.5453
+        v += (cell - np.floor(cell)) - 0.5
+    return np.clip(127.0 + 150.0 * v, 5, 250)
+
+
+_TEXTURES = {"default": _texture, "distinct": _texture_distinct}
+
+
 @dataclasses.dataclass
 class Mover:
     """A textured planar quad moving rigidly by translation.
@@ -149,13 +173,14 @@ class Mover:
 BOX_HALF = 60.0
 
 
-def _render_frame(cam, Twc, movers, t, box: bool = False):
+def _render_frame(cam, Twc, movers, t, box: bool = False, texture=None):
     """Analytic z-buffer render.  Returns (gray, depth_m, label, info)
     where info[y, x] = (surface id, local a, local b) for flow lookup.
 
     ``box=True`` encloses the scene in 4 textured walls at +-BOX_HALF so
     arbitrary ego headings (turns, full loops) always see textured
     background; the default keeps the original ground + back-wall scene."""
+    texture = _texture if texture is None else texture
     W, H = cam["width"], cam["height"]
     fx, fy, cx, cy = cam["fx"], cam["fy"], cam["cx"], cam["cy"]
     us, vs = np.meshgrid(np.arange(W), np.arange(H))
@@ -197,11 +222,11 @@ def _render_frame(cam, Twc, movers, t, box: bool = False):
         t_bg = np.where(closer, t_w, t_bg)
         sid = np.where(closer, w_i, sid)
     X_bg = o_w + t_bg[..., None] * d_w
-    gray = _texture(X_bg[..., 0], X_bg[..., 2], 11)  # ground texture
+    gray = texture(X_bg[..., 0], X_bg[..., 2], 11)  # ground texture
     for w_i, (n, d0, seed) in enumerate(walls, start=1):
         a_w = X_bg[..., 0] + X_bg[..., 2]            # along-wall coordinate
         gray = np.where(
-            sid == w_i, _texture(a_w, X_bg[..., 1] * 3.0, seed), gray
+            sid == w_i, texture(a_w, X_bg[..., 1] * 3.0, seed), gray
         )
     t_buf = t_bg.copy()
     label = np.zeros((H, W), np.int32)
@@ -242,7 +267,7 @@ def _render_frame(cam, Twc, movers, t, box: bool = False):
             a_loc = np.where(hit, a, a_loc)
             b_loc = np.where(hit, b, b_loc)
             gray = np.where(
-                hit, _texture(a * 9.0, b * 9.0, 100 + mv.seed + 7 * p_i), gray
+                hit, texture(a * 9.0, b * 9.0, 100 + mv.seed + 7 * p_i), gray
             )
 
     # depth = z-coordinate in CAMERA frame: t_buf is the parameter along
@@ -271,7 +296,7 @@ def make_multimover_frames(movers=None, n_frames: int = 8, cam=None,
                          box=False)
 
 
-def _build_frames(cam, Twc_at, movers, n_frames, box: bool):
+def _build_frames(cam, Twc_at, movers, n_frames, box: bool, texture=None):
     """Shared renderer loop: analytic frames with exact depth / dense
     forward flow / instance masks / GT ego + camera-frame object poses.
 
@@ -287,7 +312,7 @@ def _build_frames(cam, Twc_at, movers, n_frames, box: bool):
     W, H = cam["width"], cam["height"]
     fx, fy, cx, cy, bf = cam["fx"], cam["fy"], cam["cx"], cam["cy"], cam["bf"]
     rendered = [
-        _render_frame(cam, Twc_at(t), movers, t, box=box)
+        _render_frame(cam, Twc_at(t), movers, t, box=box, texture=texture)
         for t in range(n_frames)
     ]
     G0 = np.linalg.inv(Twc_at(0))      # gt-world -> frame-0-anchored world
@@ -435,7 +460,8 @@ def vee_panels(n_dir, half_w, half_h, angle_deg: float = 35.0):
 
 
 def make_circuit_frames(n_frames: int = 220, radius: float = 28.0,
-                        cam=None, overlap: float = 0.12):
+                        cam=None, overlap: float = 0.12,
+                        texture: str = "default"):
     """Closed circular circuit with a genuine revisit (loop-closure proof
     at scale): the ego drives one full lap + ``overlap`` (default 12%), so the tail
     re-observes the head's scenery from the same poses.  Continuous
@@ -502,10 +528,12 @@ def make_circuit_frames(n_frames: int = 220, radius: float = 28.0,
     b = radius + 25.0
     poses = _path_poses(positions)
     return _build_frames(cam, lambda t: poses[t], movers,
-                         n_frames, box=(-b, b, -b - 2.0, b + 2.0))
+                         n_frames, box=(-b, b, -b - 2.0, b + 2.0),
+                         texture=_TEXTURES[texture])
 
 
-def make_avenue_frames(n_frames: int = 240, cam=None):
+def make_avenue_frames(n_frames: int = 240, cam=None,
+                       texture: str = "default"):
     """Long straight-ish avenue with S-curves: 180 m of travel, lead +
     oncoming + crossing traffic — 10 mover lifespans, <= 6 concurrent.
     Exercises sustained forward odometry with heading changes and
@@ -553,10 +581,12 @@ def make_avenue_frames(n_frames: int = 240, cam=None):
     return _build_frames(
         cam, lambda t: poses[t], movers, n_frames,
         box=(-40.0, 40.0, -20.0, v * n_frames + 60.0),
+        texture=_TEXTURES[texture],
     )
 
 
-def make_junction_frames(n_frames: int = 60, cam=None, n_concurrent: int = 8):
+def make_junction_frames(n_frames: int = 60, cam=None, n_concurrent: int = 8,
+                         texture: str = "default"):
     """Dense-traffic junction approach: ``n_concurrent`` movers with
     DISTINCT labels all alive simultaneously for (nearly) the whole scene
     — the k_obj_solve stress fixture.  The reference's association tables
@@ -616,6 +646,7 @@ def make_junction_frames(n_frames: int = 60, cam=None, n_concurrent: int = 8):
     return _build_frames(
         cam, lambda t: poses[t], movers, n_frames,
         box=(-40.0, 40.0, -20.0, v * n_frames + 95.0),
+        texture=_TEXTURES[texture],
     )
 
 
@@ -781,3 +812,4 @@ def degrade_frames(
             sem_mask=_erode_labels(fd.sem_mask, mask_erode_px),
         ))
     return out
+

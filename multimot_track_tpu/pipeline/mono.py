@@ -61,6 +61,10 @@ class MonoTracker:
         self._frame = 0
         self.loop_events: List[tuple] = []
         self.n_relocalizations = 0
+        self.n_lost_frames = 0
+        # constant-velocity motion model (TrackWithMotionModel,
+        # src/Tracking.cc): per-frame relative Tcw, identity until tracked
+        self._velocity = np.eye(4, dtype=np.float32)
         self.loop_min_matches = loop_min_matches
         self.loop_min_kf_separation = loop_min_kf_separation
         if enable_backend:
@@ -147,15 +151,53 @@ class MonoTracker:
             self.poses.append(Tcw.astype(np.float32))
             return self.poses[-1]
 
-        # --- tracked mode: PnP vs previous structure, then re-triangulate ---
+        # --- tracked mode: motion-model projected matching, then PnP ---
+        # Frame-to-frame slot survival is too low to feed PnP alone (~25%
+        # of global matches land on slots that carry 3D — measured 14
+        # valid -> 10 inliers -> LOST on the avenue scene).  Instead,
+        # project the EXISTING map points into this frame under the
+        # constant-velocity prediction and match by descriptor within a
+        # radius — the reference's TrackWithMotionModel /
+        # SearchByProjection (src/Tracking.cc, src/ORBmatcher.cc:1342),
+        # which decouples 3D-2D correspondence count from detection
+        # churn.  Global descriptor PnP stays as the fallback rung.
         Xw_prev = st.Xw[np.arange(len(uv_prev))]
-        pnp_valid = mvalid & st.Xw_valid
+        Tcw_pred = (self._velocity @ st.Tcw).astype(np.float32)
+        Xc = (Tcw_pred[:3, :3] @ Xw_prev.T).T + Tcw_pred[:3, 3]
+        z_pred = Xc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            uv_pred = np.stack(
+                [fx * Xc[:, 0] / z_pred + cx, fy * Xc[:, 1] / z_pred + cy], -1
+            ).astype(np.float32)
+        proj_valid = (
+            st.Xw_valid & (z_pred > 1e-6) & np.isfinite(uv_pred).all(1)
+        )
+        mp = matching.match_projected(
+            jnp.asarray(st.desc), jnp.asarray(uv_pred),
+            jnp.asarray(proj_valid), jnp.asarray(desc),
+            jnp.asarray(uv.astype(np.float32)), jnp.asarray(valid),
+            radius=18.0,
+        )
+        mp_valid = np.asarray(mp.valid) & st.Xw_valid
+        uv_mp = uv[np.asarray(mp.idx)].astype(np.float32)
         sol = pnp.ransac_pnp(
-            key, jnp.asarray(Xw_prev), jnp.asarray(uv_cur.astype(np.float32)),
-            jnp.asarray(pnp_valid), fx, fy, cx, cy,
+            key, jnp.asarray(Xw_prev), jnp.asarray(uv_mp),
+            jnp.asarray(mp_valid), fx, fy, cx, cy,
         )
         Tcw = np.asarray(sol.T)
         lost = int(sol.n_inliers) < 12
+        if lost:
+            # fallback rung: global descriptor matches (no prediction)
+            pnp_valid = mvalid & st.Xw_valid
+            sol2 = pnp.ransac_pnp(
+                jax.random.fold_in(key, 1), jnp.asarray(Xw_prev),
+                jnp.asarray(uv_cur.astype(np.float32)),
+                jnp.asarray(pnp_valid), fx, fy, cx, cy,
+            )
+            if int(sol2.n_inliers) > int(sol.n_inliers):
+                sol = sol2
+                Tcw = np.asarray(sol.T)
+                lost = int(sol.n_inliers) < 12
         if lost:
             # fallback: constant pose (LOST semantics)
             Tcw = st.Tcw
@@ -176,6 +218,18 @@ class MonoTracker:
                 T_lm = self._track_local_map(Tcw, uv, desc, valid)
                 if T_lm is not None:
                     Tcw = T_lm
+        if lost:
+            # keep the LAST-GOOD state untouched: the next frame matches
+            # against the last tracked frame and its intact map.  The old
+            # path rebuilt the state from this frame's matches with Tcw
+            # frozen at st.Tcw — triangulating at zero baseline writes
+            # garbage points that pass cheirality and the map decays, so
+            # one glitched frame became permanent LOST.  (The reference
+            # likewise creates no map points without tracked motion,
+            # src/LocalMapping.cc CreateNewMapPoints.)
+            self.n_lost_frames += 1
+            self.poses.append(st.Tcw.astype(np.float32))
+            return self.poses[-1]
         # re-triangulate matched pairs for the next frame's structure
         Kmat = np.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
         P1 = Kmat @ np.asarray(st.Tcw)[:3]
@@ -187,7 +241,13 @@ class MonoTracker:
         # cheirality + match gating
         z1 = (np.asarray(st.Tcw)[:3, :3] @ X_new.T).T[:, 2] + np.asarray(st.Tcw)[2, 3]
         z2 = (Tcw[:3, :3] @ X_new.T).T[:, 2] + Tcw[2, 3]
-        good = mvalid & (z1 > 0) & (z2 > 0) & np.isfinite(X_new).all(1)
+        baseline = float(np.linalg.norm(
+            np.linalg.inv(Tcw)[:3, 3] - np.linalg.inv(np.asarray(st.Tcw))[:3, 3]
+        ))
+        good = (
+            mvalid & (z1 > 0) & (z2 > 0) & np.isfinite(X_new).all(1)
+            & (baseline > 1e-6)
+        )
         Xw_cur = np.zeros((self.n_kp, 3), np.float32)
         Xw_vld = np.zeros(self.n_kp, bool)
         idx = np.asarray(m.idx)
@@ -196,9 +256,16 @@ class MonoTracker:
         # persist existing map points across frames (the reference's MapPoints
         # live until culled, src/MapPoint.cc) — re-triangulating tracked points
         # every frame lets monocular scale drift; keeping them anchors it.
-        persist = pnp_valid
+        # Both correspondence channels carry points forward: the global
+        # descriptor matches AND the projection-guided matches (whose
+        # current-frame slots differ).
+        persist = mvalid & st.Xw_valid
         Xw_cur[idx[persist]] = Xw_prev[persist]
         Xw_vld[idx[persist]] = True
+        idx_mp = np.asarray(mp.idx)
+        Xw_cur[idx_mp[mp_valid]] = Xw_prev[mp_valid]
+        Xw_vld[idx_mp[mp_valid]] = True
+        self._velocity = (Tcw @ np.linalg.inv(st.Tcw)).astype(np.float32)
         self.state = MonoState(uv, desc, valid, Xw_cur, Xw_vld, Tcw.astype(np.float32))
         self.poses.append(Tcw.astype(np.float32))
         if self.keyframes is not None and not lost:

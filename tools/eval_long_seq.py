@@ -187,9 +187,10 @@ def main():
 
     results = []
     for name, mk in (
-        ("circuit", lambda: synth.make_circuit_frames(n_frames=n, cam=dict(cam))),
-        ("avenue", lambda: synth.make_avenue_frames(
-            n_frames=int(n * 1.09), cam=dict(cam))),
+        ("circuit", lambda tex="default": synth.make_circuit_frames(
+            n_frames=n, cam=dict(cam), texture=tex)),
+        ("avenue", lambda tex="default": synth.make_avenue_frames(
+            n_frames=int(n * 1.09), cam=dict(cam), texture=tex)),
     ):
         print(f"[eval_long_seq] rendering {name} ...", flush=True)
         t0 = time.perf_counter()
@@ -213,8 +214,11 @@ def main():
             }), flush=True)
             results.append(r)
         if args.mono:
+            # descriptor-based mono needs locally distinctive texture
+            # (io/synth._texture_distinct); same geometry + exact GT
+            mono_frames = mk("distinct")
             for backend in (False, True):
-                m = run_mono_scene(name, frames, cfg, backend)
+                m = run_mono_scene(name, mono_frames, cfg, backend)
                 print("  " + json.dumps(m), flush=True)
                 mono_rows.append(m)
 
