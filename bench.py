@@ -285,6 +285,12 @@ def main():
             out["long_live_ate_m"] = round(cs["ego_ate_rmse_m"], 3)
             out["long_live_ate_raw_m"] = round(cs["ego_ate_rmse_raw_m"], 3)
             out["long_live_loop_closures"] = cs["n_loop_closures"]
+            # where the wall time went (total seconds per host-loop stage;
+            # makes a low total-fps interpretable: compile stall vs
+            # link vs backend rung)
+            out["long_live_stages"] = {
+                k: v["total_s"] for k, v in csys.stage_report().items()
+            }
             assert out["long_live_cam_t_rpe"] < 0.05
         except Exception as e:
             out["long_live_error"] = repr(e)[:200]

@@ -602,38 +602,41 @@ def make_junction_frames(n_frames: int = 60, cam=None, n_concurrent: int = 8,
     v = 0.45
     positions = [np.array([0.0, 0.0, v * t]) for t in range(n_frames)]
 
-    # Lane layout keeps >=6 movers visible in EVERY frame: the lead
-    # vehicle (rel z ~12, u-band ~[356, 437]) occludes anything distant
-    # on the right of the vanishing point, so far traffic rides the LEFT
-    # lanes and the right side is crossed by NEAR movers that pass in
-    # front of the lead.
+    # Lane layout constraints: every mover must stay inside the tracker's
+    # 25 m working range (max_obj_depth, reference Tracking.cc:1523 drops
+    # farther objects) AND >=6 must be visible in every frame.  The lead
+    # (rel z ~11, u-band ~[360, 440]) occludes what is behind it in that
+    # band, so traffic rides the left lanes / near field / right band,
+    # and deep lanes drift forward so ego advance never pushes them
+    # outside [8, 24] m relative depth.
     defs = [
         # (label, centre(t), facing, half_w, half_h)
-        # lead, right of centre, rel z ~= 12 the whole scene
-        (1, lambda t: np.array([2.0, 0.25, 12.0 + 0.40 * t]),
+        # lead, right of centre, rel z ~= 11 the whole scene
+        (1, lambda t: np.array([2.0, 0.25, 11.0 + 0.40 * t]),
          (0.0, 0.0, -1.0), 1.05, 0.78),
-        # far oncoming, left lane
-        (2, lambda t: np.array([-2.8, 0.20, 58.0 - 0.40 * t]),
+        # oncoming, left lane: rel z 24 -> 9
+        (2, lambda t: np.array([-2.8, 0.20, 24.0 + 0.20 * t]),
          (0.0, 0.0, 1.0), 1.05, 0.78),
-        # far crossers L->R at fixed stations (stay left of the lead band)
-        (3, lambda t: np.array([-10.0 + 0.195 * t, 0.30, 35.0]),
-         (0.0, 0.0, -1.0), 1.05, 0.78),
-        (4, lambda t: np.array([-10.0 + 0.16 * t, 0.30, 50.0]),
-         (0.0, 0.0, -1.0), 1.05, 0.78),
-        # near crossers sweeping IN FRONT of the lead (rel z ~9-11):
-        # small and fast, so each far-lane label they pass over is hidden
-        # for only ~6 frames, staggered early (5) / late (6)
+        # drifting crossers (station advances with ego so rel z stays in
+        # range): L->R at rel z 20 -> 11 ...
+        (3, lambda t: np.array([-8.0 + 0.25 * t, 0.30, 20.0 + 0.30 * t]),
+         (0.0, 0.0, -1.0), 1.0, 0.75),
+        # ... and R->L at rel z 23 -> 11 (passes behind the lead briefly)
+        (4, lambda t: np.array([8.0 - 0.22 * t, 0.30, 23.0 + 0.25 * t]),
+         (0.0, 0.0, -1.0), 1.0, 0.75),
+        # near crossers sweeping IN FRONT of the lead (rel z ~9-10):
+        # small and fast, staggered early (5) / late (6)
         (5, lambda t: np.array([8.0 - 0.40 * t, 0.30, 10.5 + 0.43 * t]),
          (0.0, 0.0, -1.0), 0.8, 0.6),
         (6, lambda t: np.array([-14.0 + 0.40 * t, 0.35, 9.2 + 0.43 * t]),
          (0.0, 0.0, -1.0), 0.8, 0.6),
-        # second far oncoming, outer left lane (in view the whole scene)
-        (7, lambda t: np.array([-5.5, 0.20, 64.0 - 0.40 * t]),
+        # second oncoming, outer left lane: rel z 22 -> 13
+        (7, lambda t: np.array([-5.5, 0.20, 22.0 + 0.30 * t]),
          (0.0, 0.0, 1.0), 1.05, 0.78),
-        # far-right crosser R->L riding the band RIGHT of the lead
-        # (u ~ 480-500; the only far lane the lead does not occlude)
-        (8, lambda t: np.array([25.0 - 0.20 * t, 0.25, 65.0]),
-         (0.0, 0.0, -1.0), 1.05, 0.78),
+        # right-band holder: rel z 18 -> 11, u ~ 486 -> 590 (right of the
+        # lead band the whole time)
+        (8, lambda t: np.array([6.5, 0.22, 18.0 + 0.33 * t]),
+         (0.0, 0.0, 1.0), 1.05, 0.78),
     ]
     movers = [
         Mover(

@@ -126,10 +126,16 @@ def main():
         cfg = DEFAULT_CONFIG
     else:
         cam = dict(synth.SYNTH_CAM)
+        # obj_sample_step 2: restores the reference's world-space sample
+        # density at the quick camera's lower resolution (see
+        # tests/test_kobj_demotion.py CFG note)
         cfg = dataclasses.replace(
             DEFAULT_CONFIG, camera=synth.synth_camera_config(),
+            frontend=dataclasses.replace(
+                DEFAULT_CONFIG.frontend, obj_sample_step=2
+            ),
             padding=dataclasses.replace(
-                DEFAULT_CONFIG.padding, n_static_max=1024, n_obj_pts_max=4096
+                DEFAULT_CONFIG.padding, n_static_max=1024, n_obj_pts_max=8192
             ),
             solver=dataclasses.replace(
                 DEFAULT_CONFIG.solver, ransac_iters=200, cam_lm_iters=60,
