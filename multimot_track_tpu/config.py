@@ -84,10 +84,14 @@ class PaddingConfig:
     # the solve batch covers the top-k populated labels — empty slots
     # solve to identity anyway, so k_obj_solve >= concurrent movers is
     # lossless.  Measured on-chip (KCURVE.json): (8 slots, solve 4) costs
-    # 28.9 ms/pair == the old K=4 program's 28.7, while solve 6 pays
-    # +36%.  The long-scene fixtures peak at ~4 concurrent estimable
-    # movers; raise for denser traffic.
-    k_obj_solve: int = 4
+    # 28.9 ms/pair == the old K=4 program's 28.7; solve 6 pays +36%,
+    # solve 8 +82%.  Default 6 is picked from the dense-traffic A/B
+    # (KOBJ_AB.json, 8 concurrent movers): solve 4 permanently LOSES the
+    # lowest-ranked mover (7% coverage) and starves another (29%), while
+    # solve 6 retains all 8 labels at >=66% coverage with flat accuracy;
+    # solve 8 adds only +4% mean coverage for +34% more cost.  The
+    # reference solves every object sequentially (Tracking.cc:1658-2253).
+    k_obj_solve: int = 6
 
 
 @dataclasses.dataclass(frozen=True)

@@ -185,6 +185,7 @@ def main():
         cfg = DEFAULT_CONFIG      # camera == kitti03.yaml == KITTI_SYNTH_CAM
         n = args.frames
 
+    root = pathlib.Path(__file__).resolve().parent.parent
     results = []
     for name, mk in (
         ("circuit", lambda tex="default": synth.make_circuit_frames(
@@ -213,6 +214,7 @@ def main():
                 k: v["total_s"] for k, v in r["stages"].items()
             }), flush=True)
             results.append(r)
+            _write_outputs(root, args, results, mono_rows)
         if args.mono:
             # descriptor-based mono needs locally distinctive texture
             # (io/synth._texture_distinct); same geometry + exact GT
@@ -221,8 +223,15 @@ def main():
                 m = run_mono_scene(name, mono_frames, cfg, backend)
                 print("  " + json.dumps(m), flush=True)
                 mono_rows.append(m)
+                _write_outputs(root, args, results, mono_rows)
 
-    root = pathlib.Path(__file__).resolve().parent.parent
+    print(f"[eval_long_seq] wrote {args.out}.json / {args.out}.md")
+
+
+def _write_outputs(root, args, results, mono_rows):
+    """(Re)write the JSON + MD artifacts from results-so-far — called
+    after every completed variant so a killed run still leaves a
+    consistent partial artifact."""
     (root / f"{args.out}.json").write_text(json.dumps(results, indent=1))
 
     lines = [
@@ -295,8 +304,6 @@ def main():
         )
     lines += ["", "Per-object medians live in LONGSEQ.json."]
     (root / f"{args.out}.md").write_text("\n".join(lines) + "\n")
-    print(f"[eval_long_seq] wrote {args.out}.json / {args.out}.md")
-
 
 if __name__ == "__main__":
     main()
