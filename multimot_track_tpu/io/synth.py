@@ -653,7 +653,8 @@ def make_junction_frames(n_frames: int = 60, cam=None, n_concurrent: int = 8,
     )
 
 
-def write_stereo_tree(dst, n_frames: int = 14, cam=None):
+def write_stereo_tree(dst, n_frames: int = 14, cam=None,
+                      texture: str = "distinct"):
     """Render a synthetic STEREO sequence (KITTI image_2/image_3 layout)
     for the quad-stereo A/B: left + right views from a rigid baseline
     b = bf/fx, ground-truth poses, left-view instance masks.  No flow/
@@ -698,8 +699,11 @@ def write_stereo_tree(dst, n_frames: int = 14, cam=None):
             Twc = poses[t]
             Twc_r = Twc.copy()
             Twc_r[:3, 3] = Twc[:3, 3] + Twc[:3, :3] @ np.array([b, 0.0, 0.0])
-            left, _, label, _ = _render_frame(cam, Twc, movers, t, box=box)
-            right, _, _, _ = _render_frame(cam, Twc_r, movers, t, box=box)
+            tex = _TEXTURES[texture]
+            left, _, label, _ = _render_frame(
+                cam, Twc, movers, t, box=box, texture=tex)
+            right, _, _, _ = _render_frame(
+                cam, Twc_r, movers, t, box=box, texture=tex)
             Image.fromarray(left.astype(np.uint8)).save(
                 dst / "image_2" / f"{t:06d}.png"
             )
